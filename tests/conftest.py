@@ -9,7 +9,9 @@ for real without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the real TPU
+# tunnel, which would make every jit in the suite pay a 20-40s TPU compile.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The ambient axon site hook re-pins the platform at import time, so the env
+# var alone is not enough — force the config after import too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

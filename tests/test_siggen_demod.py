@@ -1,0 +1,119 @@
+"""Tests for signal source (carried phase) and demodulators (quadrature
+demod history, Costas loop recurrence vs a numpy reference loop)."""
+
+import math
+
+import numpy as np
+
+from clenabled_tpu.dsp import demod, siggen
+
+
+def test_siggen_complex_continuous_across_frames():
+    fs, f0, n = 1e6, 123e3, 4096
+    init, gen = siggen.make_signal_source(fs, siggen.SIGSOURCE_COS, f0, 1.0, n)
+    state = init()
+    frames = []
+    for _ in range(4):
+        state, frame = gen(state)
+        frames.append(np.asarray(frame))
+    got = np.concatenate(frames)
+    t = np.arange(4 * n, dtype=np.float64)
+    ang = 2 * np.pi * f0 / fs * t
+    want = np.cos(ang) + 1j * np.sin(ang)
+    # float32 trig on wrapped angles: expect ~1e-4 absolute agreement
+    np.testing.assert_allclose(got, want.astype(np.complex64), atol=5e-4)
+
+
+def test_siggen_float_waveforms():
+    fs, f0, n = 48e3, 1e3, 480
+    for wf, ref in [(siggen.SIGSOURCE_COS, np.cos), (siggen.SIGSOURCE_SIN, np.sin)]:
+        init, gen = siggen.make_signal_source(fs, wf, f0, 2.0, n, dtype=np.float32)
+        _, frame = gen(init())
+        ang = 2 * np.pi * f0 / fs * np.arange(n)
+        np.testing.assert_allclose(np.asarray(frame), 2.0 * ref(ang), atol=5e-4)
+
+
+def test_quadrature_demod_matches_reference_formula():
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)).astype(
+        np.complex64
+    )
+    gain = 0.7
+    y, last = demod.quadrature_demod(x, gain)
+    # reference: out[i] = gain*atan2(imag, real) of x[i+1]*conj(x[i]), with
+    # 1-sample history; our frame-aligned form outputs y[i] from (x[i-1],x[i])
+    prod = x[1:] * np.conj(x[:-1])
+    want = gain * np.arctan2(prod.imag, prod.real)
+    np.testing.assert_allclose(np.asarray(y)[1:], want, rtol=1e-4, atol=1e-5)
+    assert abs(np.asarray(y)[0]) < 1e-6  # first sample vs itself (fma noise)
+    assert np.asarray(last)[0] == x[-1]
+
+
+def test_quadrature_demod_fm_tone():
+    # constant-frequency tone → constant output = gain * 2π f/fs
+    fs, f0, n = 1e6, 50e3, 2048
+    t = np.arange(n) / fs
+    x = np.exp(2j * np.pi * f0 * t).astype(np.complex64)
+    y, _ = demod.quadrature_demod(x, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(y)[1:], 2 * np.pi * f0 / fs, rtol=1e-3
+    )
+
+
+def _costas_numpy(x, loop_bw, order, n_out=None):
+    """Reference recurrence transcribed from lib/clCostasLoop_impl.cc:151-312."""
+    alpha, beta = demod.costas_gains(loop_bw)
+    phase = freq = 0.0
+    out = np.zeros_like(x)
+    for i in range(len(x)):
+        n_r, n_i = math.cos(-phase), math.sin(-phase)
+        o_r = x[i].real * n_r - x[i].imag * n_i
+        o_i = x[i].real * n_i + x[i].imag * n_r
+        out[i] = o_r + 1j * o_i
+        if order == 2:
+            error = o_r * o_i
+        else:
+            error = (1.0 if o_r > 0 else -1.0) * o_i - (
+                1.0 if o_i > 0 else -1.0
+            ) * o_r
+        error = 0.5 * (abs(error + 1) - abs(error - 1))
+        freq += beta * error
+        phase += freq + alpha * error
+        if phase > 2 * math.pi or phase < -2 * math.pi:
+            phase = (phase / (2 * math.pi) - int(phase / (2 * math.pi))) * 2 * math.pi
+        freq = min(max(freq, -1.0), 1.0)
+    return out
+
+
+def test_costas_matches_reference_recurrence():
+    rng = np.random.default_rng(11)
+    # BPSK with small phase offset
+    bits = rng.integers(0, 2, 512) * 2 - 1
+    x = (bits * np.exp(1j * 0.3)).astype(np.complex64)
+    for order in (2, 4):
+        run = demod.make_costas_loop(0.02, order)
+        state, out = run(demod.costas_init(), x)
+        want = _costas_numpy(x.astype(np.complex128), 0.02, order)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-3, atol=2e-3)
+
+
+def test_costas_locks_bpsk_phase_offset():
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, 8000) * 2 - 1
+    x = (bits * np.exp(1j * 0.5)).astype(np.complex64)
+    run = demod.make_costas_loop(0.05, 2)
+    state, out = run(demod.costas_init(), x)
+    tail = np.asarray(out)[-1000:]
+    # locked: imaginary part driven to ~0
+    assert np.abs(tail.imag).mean() < 0.02
+    # carried state: a second frame starts already locked (no re-acquisition)
+    _, out2 = run(state, x)
+    head = np.asarray(out2)[:200]
+    assert np.abs(head.imag).mean() < 0.02
+
+
+def test_costas_order_validated():
+    import pytest
+
+    with pytest.raises(ValueError):
+        demod.make_costas_loop(0.02, 3)
