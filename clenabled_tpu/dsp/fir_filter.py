@@ -1,0 +1,111 @@
+"""Direct-form FIR filtering with decimation.
+
+Replaces the reference's generated ``td_FIR_complex`` /
+``td_FIR_complex_complex`` time-domain kernels (lib/clFilter_impl.cc:152-243,
+lib/clComplexFilter_impl.cc:796-830) and the type-specialized CPU
+``fir_filter_*`` classes (lib/fir_filter.h:32-192).
+
+Convention (GNU Radio): the caller supplies ``ntaps-1`` history samples at
+the FRONT of the input (the reference gets these via ``set_history``,
+lib/clFilter_impl.cc:78), and
+
+    y[n] = sum_j taps[j] * x[n + ntaps-1 - j]          (a "valid" convolution)
+    out[m] = y[m * decimation]
+
+Complex data with real or complex taps decomposes into real 1-D convolutions
+so XLA lowers everything onto the MXU; there is no scalar tap loop anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _conv_valid_real(x, taps):
+    """Real 'valid' convolution via conv_general_dilated (correlation with
+    reversed taps).  x: [L] f32, taps: [K] f32 -> [L-K+1] f32."""
+    lhs = x[None, None, :]                       # [N=1, C=1, W]
+    rhs = taps[::-1][None, None, :]              # [O=1, I=1, W]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        preferred_element_type=jnp.float32,
+    )
+    return out[0, 0]
+
+
+def fir_filter(x, taps, decimation: int = 1):
+    """Filter one frame.
+
+    Args:
+      x: [ntaps-1 + n] samples (history at the front); float32 or complex64.
+      taps: [ntaps] float32 or complex64.
+      decimation: keep every decimation-th output.
+
+    Returns: [n // decimation] filtered samples (complex64 if either input
+      is complex, else float32).  ``n`` must be a multiple of ``decimation``.
+    """
+    x = jnp.asarray(x)
+    taps = jnp.asarray(taps)
+    n = x.shape[-1] - (taps.shape[-1] - 1)
+    if n <= 0:
+        raise ValueError("input shorter than filter history")
+    if n % decimation:
+        raise ValueError(f"frame length {n} not a multiple of decimation {decimation}")
+
+    x_c = jnp.issubdtype(x.dtype, jnp.complexfloating)
+    t_c = jnp.issubdtype(taps.dtype, jnp.complexfloating)
+
+    if not x_c and not t_c:
+        y = _conv_valid_real(x.astype(jnp.float32), taps.astype(jnp.float32))
+    elif x_c and not t_c:
+        t = taps.astype(jnp.float32)
+        y = (_conv_valid_real(x.real.astype(jnp.float32), t)
+             + 1j * _conv_valid_real(x.imag.astype(jnp.float32), t)
+             ).astype(jnp.complex64)
+    elif not x_c and t_c:
+        xr = x.astype(jnp.float32)
+        y = (_conv_valid_real(xr, taps.real.astype(jnp.float32))
+             + 1j * _conv_valid_real(xr, taps.imag.astype(jnp.float32))
+             ).astype(jnp.complex64)
+    else:
+        xr = x.real.astype(jnp.float32)
+        xi = x.imag.astype(jnp.float32)
+        tr = taps.real.astype(jnp.float32)
+        ti = taps.imag.astype(jnp.float32)
+        y = ((_conv_valid_real(xr, tr) - _conv_valid_real(xi, ti))
+             + 1j * (_conv_valid_real(xr, ti) + _conv_valid_real(xi, tr))
+             ).astype(jnp.complex64)
+
+    if decimation > 1:
+        y = y[::decimation]
+    return y
+
+
+def make_fir_filter(taps, decimation: int = 1, complex_input: bool = True):
+    """Streaming form: (init_state, apply) where state is the carried
+    ``ntaps-1``-sample history (the role of GR's set_history).
+
+    apply(history, frame) -> (new_history, out); frame length must be a
+    multiple of ``decimation`` and should stay fixed for a single jit cache
+    entry.
+    """
+    taps = jnp.asarray(taps)
+    ntaps = int(taps.shape[-1])
+    hist_dtype = jnp.complex64 if complex_input else jnp.float32
+
+    def init_state(frame_size: int | None = None):
+        del frame_size
+        return jnp.zeros((ntaps - 1,), dtype=hist_dtype)
+
+    @jax.jit
+    def apply(history, frame):
+        frame = jnp.asarray(frame, hist_dtype)
+        full = jnp.concatenate([history, frame], axis=-1)
+        out = fir_filter(full, taps, decimation)
+        new_history = full[..., full.shape[-1] - (ntaps - 1):]
+        return new_history, out
+
+    return init_state, apply
