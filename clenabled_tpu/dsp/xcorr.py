@@ -1,0 +1,128 @@
+"""Time- and frequency-domain cross-correlators.
+
+- ``td_xcorr`` replaces clXCorrelate's lag-scan kernel
+  (lib/clXCorrelate_impl.cc:843-903): normalized cross-correlation of
+  magnitude sequences over lags [-max_shift, max_shift), one value per lag:
+      corr[l] = sum(x·y over the overlap) / sqrt(sum x² · sum y²)
+  with -2.0 where the denominator is zero.  The reference runs one work-item
+  per lag, each scalar-looping L samples, then a two-stage workgroup
+  max-reduction (find_max, :1011-1068).  TPU form: ONE FFT cross-correlation
+  gives every lag's numerator at once, prefix sums give every lag's window
+  energies, and the reduction collapses to jnp.argmax.
+
+- ``fd_xcorr`` replaces clxcorrelate_fft_vcf (lib/clxcorrelate_fft_vcf_impl.cc):
+  per FFT-vector: ref × conj(sig) → unscaled reverse FFT → magnitude →
+  half-swap (fftshift) into the output (:886-937, :1131-1141), optionally
+  forward-transforming time-series input first (input_type=2, :1080-1086).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _mag(x):
+    """Reference semantics: complex input → |x|; float input used as-is
+    (lib/clXCorrelate_impl.cc:1483-1489)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return jnp.abs(x).astype(jnp.float32)
+    return x.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("max_shift",))
+def _td_xcorr_pair(ref_mag, sig_mag, max_shift: int):
+    """Normalized lag scan for one (ref, sig) magnitude pair.
+
+    Returns corr: [2*max_shift] float32, lags g - max_shift for g in range.
+    """
+    n = ref_mag.shape[-1]
+    xx = ref_mag * ref_mag
+    yy = sig_mag * sig_mag
+    # inclusive prefix sums with leading 0: csum[k] = sum of first k items
+    cxx = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(xx)])
+    cyy = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(yy)])
+
+    # all-lag numerator via FFT cross-correlation:
+    # c[l] = sum_i ref[i+l]·sig[i]  (l ≥ 0);  c_neg[s] = sum_i ref[i]·sig[i+s]
+    p = 1
+    while p < n + max_shift:
+        p <<= 1
+    fr = jnp.fft.rfft(ref_mag, n=p)
+    fs = jnp.fft.rfft(sig_mag, n=p)
+    cc = jnp.fft.irfft(fr * jnp.conj(fs), n=p)  # cc[l] = Σ ref[i+l] sig[i] (mod p)
+
+    g = jnp.arange(2 * max_shift)
+    shift = g - max_shift  # [-max_shift, max_shift)
+    pos = shift > 0
+    s_abs = jnp.abs(shift)
+
+    # numerator: lag>0 → cc[shift]; lag≤0 → cc[p - s_abs] (wrap), lag 0 → cc[0]
+    num = jnp.where(pos, cc[jnp.clip(shift, 0, p - 1)],
+                    cc[jnp.where(s_abs == 0, 0, p - s_abs)])
+
+    # window energies (reference :875-888):
+    #   shift>0: sum xx[shift:]      · sum yy[:n-shift]
+    #   shift≤0: sum xx[:n-s]        · sum yy[s:]
+    total_xx = cxx[n]
+    total_yy = cyy[n]
+    sum_x2 = jnp.where(pos, total_xx - cxx[s_abs], cxx[n - s_abs])
+    sum_y2 = jnp.where(pos, cyy[n - s_abs], total_yy - cyy[s_abs])
+
+    denom = sum_x2 * sum_y2
+    corr = jnp.where(denom != 0.0, num * jax.lax.rsqrt(denom), -2.0)
+    return corr.astype(jnp.float32)
+
+
+class XCorrResult(NamedTuple):
+    """The PDU payload of clXCorrelate (:1594-1601): per non-reference
+    signal, the best correlation and the corrective lag."""
+    corr: jax.Array            # [nsignals-1] float32: max correlation
+    lag: jax.Array             # [nsignals-1] int32: lag index - max_shift
+    corr_vectors: jax.Array    # [nsignals-1, 2*max_shift] full scans
+
+
+def td_xcorr(signals, max_shift: int) -> XCorrResult:
+    """Correlate signals[1:] against signals[0].
+
+    Args:
+      signals: [nsignals, signal_length] complex64 or float32.
+      max_shift: lag half-range (forced pow2 by the reference, :739-745 —
+        not required here).
+    """
+    signals = jnp.asarray(signals)
+    mags = _mag(signals)
+    ref = mags[0]
+    scan = jax.vmap(lambda s: _td_xcorr_pair(ref, s, max_shift))(mags[1:])
+    best = jnp.argmax(scan, axis=-1)
+    return XCorrResult(
+        corr=jnp.take_along_axis(scan, best[:, None], axis=-1)[:, 0],
+        lag=(best - max_shift).astype(jnp.int32),
+        corr_vectors=scan,
+    )
+
+
+@partial(jax.jit, static_argnames=("perform_fft_first",))
+def fd_xcorr(vectors, perform_fft_first: bool = False):
+    """Frequency-domain correlator over FFT-size vectors.
+
+    Args:
+      vectors: [nsignals, ..., fft_size] complex64 — spectra (input_type=1)
+        or raw time series (input_type=2 → forward FFT applied first).
+
+    Returns: [nsignals-1, ..., fft_size] float32 — fftshifted correlation
+      magnitude vs the reference signal (signals[0]).
+    """
+    v = jnp.asarray(vectors, jnp.complex64)
+    if perform_fft_first:
+        v = jnp.fft.fft(v, axis=-1).astype(jnp.complex64)
+    n = v.shape[-1]
+    ref = v[0]
+    prod = ref * jnp.conj(v[1:])
+    z = jnp.fft.ifft(prod, axis=-1) * n  # reverse scale forced 1.0 (:731)
+    mag = jnp.abs(z).astype(jnp.float32)
+    return jnp.fft.fftshift(mag, axes=-1)

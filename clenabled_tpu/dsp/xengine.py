@@ -1,0 +1,179 @@
+"""X-Engine: xGPU-style FX interferometry correlator.
+
+Replaces clXEngine (lib/clXEngine_impl.cc).  The reference integrates
+``cxmac`` products with one work-item per (channel, baseline), each scalar-
+looping over integration frames (:727-790).  The TPU-native form is the
+per-channel Gram matrix: stacking station×pol spectra over time as
+Z[t, s·p, f], the full correlation matrix is
+
+    G[f, i, j] = sum_t Z[t, i, f] · conj(Z[t, j, f])
+
+— a batched [SP, T] × [T, SP] matmul per channel that maps straight onto the
+MXU (decomposed into 4 real matmuls).  The triangular xGPU baseline order is
+then a static gather:
+
+    baseline k → station1 = floor(-0.5 + sqrt(0.25 + 2k)),
+                 station2 = k - station1(station1+1)/2          (:744-750)
+
+with per-baseline pol products [XX, XY, YX, YY] = z_{s1,p0}·conj(z_{s2,p1})
+(cxmac is accum += z0·conj(z1), :736-743).
+
+Input unpacking matches CharToComplex (:831-858): signed-byte I/Q scaled by
+1/127, and packed 4-bit two's-complement pairs scaled by 1/7.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# output_format codes (lib/clXEngine_impl.h:28-29)
+CLXCORR_TRIANGULAR_ORDER = 1
+CLXCORR_FULL_MATRIX = 2
+
+
+def num_baselines(num_inputs: int) -> int:
+    """N(N+1)/2 including autocorrelations (lib/clXEngine_impl.cc:183)."""
+    return num_inputs * (num_inputs + 1) // 2
+
+
+def baseline_stations(num_inputs: int) -> np.ndarray:
+    """[nbaselines, 2] int32 (station1, station2) in xGPU triangular order."""
+    k = np.arange(num_baselines(num_inputs))
+    s1 = np.floor(-0.5 + np.sqrt(0.25 + 2.0 * k)).astype(np.int32)
+    s2 = (k - (s1 + 1) * s1 // 2).astype(np.int32)
+    return np.stack([s1, s2], axis=-1)
+
+
+def unpack_char(raw):
+    """Interleaved signed-byte I/Q → complex64 · (1/127)."""
+    f = jnp.asarray(raw, jnp.int8).astype(jnp.float32) * jnp.float32(1.0 / 127.0)
+    pairs = f.reshape(f.shape[:-1] + (-1, 2))
+    return (pairs[..., 0] + 1j * pairs[..., 1]).astype(jnp.complex64)
+
+
+_TWOS_LUT = np.array([0, 1, 2, 3, 4, 5, 6, 7, 0, -7, -6, -5, -4, -3, -2, -1],
+                     dtype=np.float32)
+
+
+def unpack_packed_4bit(raw):
+    """Packed 4-bit two's-complement I/Q nibbles (high=I, low=Q) → complex64
+    · (1/7).  One byte yields one complex sample; the reference handles the
+    X/Y pol pair as consecutive bytes (uchar2, :846-855) which is just two
+    consecutive samples here."""
+    b = jnp.asarray(raw, jnp.uint8).astype(jnp.int32)
+    lut = jnp.asarray(_TWOS_LUT)
+    i = lut[b >> 4] * jnp.float32(1.0 / 7.0)
+    q = lut[b & 0xF] * jnp.float32(1.0 / 7.0)
+    return (i + 1j * q).astype(jnp.complex64)
+
+
+@partial(jax.jit, static_argnames=("num_inputs", "npol"))
+def _gram(z, *, num_inputs: int, npol: int):
+    """z: [T, S, F, P] complex64 → G: [F, S·P, S·P] complex64 via 4 real
+    batched matmuls (MXU path)."""
+    t, s, f, p = z.shape
+    zz = jnp.transpose(z, (0, 1, 3, 2)).reshape(t, s * p, f)
+    zr = zz.real.astype(jnp.float32)
+    zi = zz.imag.astype(jnp.float32)
+    # G[f,i,j] = sum_t z[t,i,f] conj(z[t,j,f])
+    rr = jnp.einsum("tif,tjf->fij", zr, zr, preferred_element_type=jnp.float32)
+    ii = jnp.einsum("tif,tjf->fij", zi, zi, preferred_element_type=jnp.float32)
+    ri = jnp.einsum("tif,tjf->fij", zr, zi, preferred_element_type=jnp.float32)
+    ir = jnp.einsum("tif,tjf->fij", zi, zr, preferred_element_type=jnp.float32)
+    return ((rr + ii) + 1j * (ir - ri)).astype(jnp.complex64)
+
+
+def xengine_correlate(z, npol: int = 2,
+                      output_format: int = CLXCORR_TRIANGULAR_ORDER):
+    """Correlate one integration window.
+
+    Args:
+      z: [T, S, F, P] complex64 — integration_time frames of station spectra
+         (the reference marshals inputs into [time][station][chan][pol],
+         lib/clXEngine_impl.cc:982-1061).
+      npol: 1 or 2 polarizations.
+      output_format: triangular xGPU order or the full matrix.
+
+    Returns:
+      triangular: [F, nbaselines, npol²] complex64 in xGPU order
+        (pol products XX,XY,YX,YY for npol=2);
+      full matrix: [F, S·npol, S·npol] complex64.
+    """
+    z = jnp.asarray(z, jnp.complex64)
+    t, s, f, p = z.shape
+    if p != npol:
+        raise ValueError(f"input has {p} pols, expected {npol}")
+    g = _gram(z, num_inputs=s, npol=p)
+    if output_format == CLXCORR_FULL_MATRIX:
+        return g
+    st = baseline_stations(s)
+    s1, s2 = jnp.asarray(st[:, 0]), jnp.asarray(st[:, 1])
+    # row index (s1, p0), col index (s2, p1) for all npol² products
+    p0 = jnp.arange(p).repeat(p)          # [p²] e.g. X X Y Y
+    p1 = jnp.tile(jnp.arange(p), p)       # [p²] e.g. X Y X Y
+    rows = s1[:, None] * p + p0[None, :]  # [nb, p²]
+    cols = s2[:, None] * p + p1[None, :]
+    return g[:, rows, cols]               # [F, nb, p²]
+
+
+class XEngineState(NamedTuple):
+    """On-device accumulation state for pipeline integration — the role of
+    the reference's GPU-side '+=' kernels + enqueueFillBuffer zeroing
+    (lib/clXEngine_impl.cc:289-292, :779-812)."""
+    accum: jax.Array        # same shape as one correlate() output
+    count: jax.Array        # int32 integrations accumulated
+
+
+def make_xengine(num_inputs: int, num_channels: int, npol: int,
+                 integration_time: int,
+                 output_format: int = CLXCORR_TRIANGULAR_ORDER,
+                 pipeline_integration: int = 0):
+    """Streaming X-Engine: (init_state, apply).
+
+    apply(state, frames) with frames [integration_time, S, F, P] returns
+    (state', out_or_None-like): when pipeline_integration ≤ 1, out is the
+    correlation each call; otherwise out is the accumulated matrix emitted
+    every ``pipeline_integration`` calls (zeros and a ``ready`` flag in
+    between — XLA needs static shapes, so out is always produced alongside
+    state.ready).
+    """
+    if npol not in (1, 2):
+        raise ValueError("npol must be 1 or 2")
+    nb = num_baselines(num_inputs)
+    if output_format == CLXCORR_TRIANGULAR_ORDER:
+        out_shape = (num_channels, nb, npol * npol)
+    else:
+        out_shape = (num_channels, num_inputs * npol, num_inputs * npol)
+    pipe = max(1, pipeline_integration)
+
+    def init_state() -> XEngineState:
+        return XEngineState(
+            accum=jnp.zeros(out_shape, jnp.complex64),
+            count=jnp.int32(0),
+        )
+
+    @jax.jit
+    def apply(state: XEngineState, frames):
+        if frames.shape != (integration_time, num_inputs, num_channels, npol):
+            raise ValueError(
+                f"frames shape {frames.shape} != "
+                f"{(integration_time, num_inputs, num_channels, npol)}"
+            )
+        corr = xengine_correlate(frames, npol=npol, output_format=output_format)
+        accum = state.accum + corr
+        count = state.count + 1
+        ready = count >= pipe
+        out = jnp.where(ready, accum, jnp.zeros_like(accum))
+        new_state = XEngineState(
+            accum=jnp.where(ready, jnp.zeros_like(accum), accum),
+            count=jnp.where(ready, jnp.int32(0), count),
+        )
+        return new_state, (out, ready)
+
+    return init_state, apply
