@@ -1,0 +1,156 @@
+"""Correlator blocks: XCorrelate (TD), XCorrelateFFTVCF (FD), XEngine (FX)."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+
+from clenabled_tpu.blocks._legacy import strip_legacy_kwargs
+from clenabled_tpu.dsp import xcorr as dsp_xcorr
+from clenabled_tpu.dsp import xengine as dsp_xengine
+from clenabled_tpu.streaming.block import Block
+
+
+class XCorrelate(Block):
+    """clXCorrelate (lib/clXCorrelate_impl.cc): N-input time-domain
+    reference correlator.  Sink block — results leave via the "corr"
+    message port as (corr, lag, corr_vectors, valid), matching the
+    reference's PDU dict {corrvect, corrective_lags} (:1594-1601).
+
+    ``decim_frames`` processes 1 in N analysis frames (:1540-1548); skipped
+    frames cost nothing (lax.cond).  The reference's async worker-thread
+    mode is unnecessary here — JAX dispatch is already asynchronous, so
+    work() never blocks on the correlation.
+    """
+
+    n_outputs = 0
+
+    def __init__(self, num_inputs: int, signal_length: int = 8192,
+                 data_type: int = 1, data_size: int = 8,
+                 max_search_index: int = 512, decim_frames: int = 1,
+                 asynchronous: bool = False, name: str = "xcorr", **legacy):
+        legacy.pop("async", None)
+        strip_legacy_kwargs(legacy)
+        del data_type, data_size, asynchronous  # dtype comes from the stream
+        if num_inputs < 2:
+            raise ValueError("XCorrelate needs >= 2 inputs")
+        self.name = name
+        self.n_inputs = num_inputs
+        self.signal_length = signal_length
+        self.max_shift = max_search_index
+        self.decim_frames = max(1, decim_frames)
+        self.quantum = signal_length
+
+    def init_state(self):
+        return jnp.int32(0)  # frame counter
+
+    def apply(self, state, inputs):
+        sigs = jnp.stack([x[..., : self.signal_length] for x in inputs])
+        run = state % self.decim_frames == 0
+
+        def compute(s):
+            r = dsp_xcorr.td_xcorr(s, self.max_shift)
+            return r.corr, r.lag, r.corr_vectors
+
+        def skip(s):
+            n = self.n_inputs - 1
+            return (jnp.zeros((n,), jnp.float32),
+                    jnp.zeros((n,), jnp.int32),
+                    jnp.zeros((n, 2 * self.max_shift), jnp.float32))
+
+        corr, lag, vectors = jax.lax.cond(run, compute, skip, sigs)
+        msg = {"corr": {"corr": corr, "corrective_lags": lag,
+                        "corrvect": vectors, "valid": run}}
+        return state + 1, (), msg
+
+
+class XCorrelateFFTVCF(Block):
+    """clxcorrelate_fft_vcf (lib/clxcorrelate_fft_vcf_impl.cc): N complex
+    FFT-vector inputs → N-1 float correlation-magnitude vector outputs.
+    input_type=1 expects spectra; 2 raw time series (FFT applied first)."""
+
+    def __init__(self, fft_size: int, num_inputs: int, input_type: int = 1,
+                 name: str = "fd_xcorr", **legacy):
+        strip_legacy_kwargs(legacy)
+        if num_inputs < 2:
+            raise ValueError("needs >= 2 inputs")
+        self.name = name
+        self.fft_size = fft_size
+        self.n_inputs = num_inputs
+        self.n_outputs = num_inputs - 1
+        self.perform_fft_first = input_type == 2
+        self.quantum = fft_size
+
+    def apply(self, state, inputs):
+        v = jnp.stack(inputs).reshape(self.n_inputs, -1, self.fft_size)
+        out = dsp_xcorr.fd_xcorr(v, perform_fft_first=self.perform_fft_first)
+        flat = tuple(out[i].reshape(-1) for i in range(self.n_outputs))
+        return state, flat, {}
+
+
+class XEngine(Block):
+    """clXEngine (lib/clXEngine_impl.cc): xGPU-style FX correlator sink.
+
+    Each of the N antenna inputs carries one integration window per step:
+    ``integration_time × num_channels × npol`` interleaved complex samples in
+    [time][channel][pol] order (the reference marshals the same layout
+    host-side, :982-1061).  Emits the correlation matrix on the "xcorr"
+    message port (with a ``valid`` flag when pipeline_integration > 1 holds
+    it back), in triangular xGPU order or full-matrix format.
+
+    File/disk output, antenna metadata sidecars and the ATA synchronizer
+    live at the tools/streaming layer, not in the math block.
+    """
+
+    n_outputs = 0
+
+    def __init__(self, data_type: int, polarization: int, num_inputs: int,
+                 output_format: int = dsp_xengine.CLXCORR_TRIANGULAR_ORDER,
+                 first_channel: int = 0, num_channels: int = 256,
+                 integration: int = 1024, antenna_list=None,
+                 pipeline_integration: int = 0, name: str = "xengine",
+                 **legacy):
+        for k in ("output_file", "file_base", "rollover_size_mb",
+                  "internal_synchronizer", "sync_timestamp", "object_name",
+                  "starting_chan_center_freq", "channel_width",
+                  "disable_output"):
+            legacy.pop(k, None)
+        strip_legacy_kwargs(legacy)
+        self.name = name
+        self.data_type = data_type
+        self.npol = polarization
+        self.n_inputs = num_inputs
+        self.num_channels = num_channels
+        self.integration = integration
+        self.first_channel = first_channel
+        self.antenna_list = list(antenna_list or [])
+        self.output_format = output_format
+        # stream items per integration window: complex samples, or raw bytes
+        # (2 bytes/sample for IChar, 1 packed byte/sample for PackedXY)
+        samples = integration * num_channels * self.npol
+        self.quantum = samples * 2 if data_type == 5 else samples
+        self._init, self._apply = dsp_xengine.make_xengine(
+            num_inputs=num_inputs, num_channels=num_channels, npol=self.npol,
+            integration_time=integration, output_format=output_format,
+            pipeline_integration=pipeline_integration,
+        )
+
+    def init_state(self):
+        return self._init()
+
+    def _decode(self, stream):
+        """Per-antenna raw stream → [T, F, P] complex."""
+        if self.data_type == 5:  # DTYPE_BYTE / IChar
+            z = dsp_xengine.unpack_char(stream)
+        elif self.data_type == 6:  # DTYPE_PACKEDXY
+            z = dsp_xengine.unpack_packed_4bit(stream)
+        else:
+            z = jnp.asarray(stream, jnp.complex64)
+        return z.reshape(self.integration, self.num_channels, self.npol)
+
+    def apply(self, state, inputs):
+        z = jnp.stack([self._decode(x) for x in inputs], axis=1)  # [T,S,F,P]
+        state, (out, ready) = self._apply(state, z)
+        return state, (), {"xcorr": {"matrix": out, "valid": ready}}

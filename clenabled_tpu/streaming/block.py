@@ -1,0 +1,86 @@
+"""Block protocol: the TPU-native encoding of GNU Radio's block contracts.
+
+A block is pure and jit-traceable.  Its carried state (filter tails, loop
+phase, integration accumulators — see SURVEY §5 "checkpoint/resume") is an
+explicit pytree threaded by the scheduler, mirroring how the reference keeps
+tails/phases in member variables or device buffers between work() calls
+(e.g. lib/clFilter_impl.cc:663-677, lib/clCostasLoop_impl.cc:318-366).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Any, Callable, Sequence
+
+
+class Block:
+    """Base class.  Subclasses override :meth:`apply` (pure, jittable).
+
+    Attributes:
+      n_inputs / n_outputs: stream port counts (0-input = source,
+        0-output = sink).
+      rate: outputs-per-input as a Fraction (1/decim for decimators,
+        interp for interpolators) — GR's relative rate.
+      quantum: input frame length must be a multiple of this (the role of
+        set_output_multiple / OFA chunk sizing).
+      source_frame: for sources, samples produced per step.
+    """
+
+    n_inputs: int = 1
+    n_outputs: int = 1
+    rate: Fraction = Fraction(1)
+    quantum: int = 1
+    source_frame: int | None = None
+    name: str = ""
+
+    def init_state(self) -> Any:
+        return ()
+
+    def apply(self, state, inputs: Sequence) -> tuple[Any, tuple, dict]:
+        """(state, inputs) -> (state', outputs, messages).
+
+        ``messages`` maps port names to arrays/pytrees; the Runner hands
+        them to host callbacks after each step (PDU analogue).
+        """
+        raise NotImplementedError
+
+    def out_frame(self, in_frame: int) -> int:
+        """Output frame length for a given input frame length."""
+        if self.n_inputs == 0:
+            assert self.source_frame is not None, f"{self} needs source_frame"
+            return self.source_frame
+        if in_frame % self.quantum:
+            raise ValueError(
+                f"{self.name or type(self).__name__}: frame {in_frame} not a "
+                f"multiple of quantum {self.quantum}"
+            )
+        out = in_frame * self.rate
+        if out.denominator != 1:
+            raise ValueError(
+                f"{self.name or type(self).__name__}: frame {in_frame} × rate "
+                f"{self.rate} is not integral"
+            )
+        return int(out)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.name or hex(id(self))})"
+
+
+class FunctionBlock(Block):
+    """Stateless block from a plain function over its input tuple."""
+
+    def __init__(self, fn: Callable, n_inputs: int = 1, n_outputs: int = 1,
+                 rate: Fraction = Fraction(1), quantum: int = 1,
+                 name: str = ""):
+        self.fn = fn
+        self.n_inputs = n_inputs
+        self.n_outputs = n_outputs
+        self.rate = rate
+        self.quantum = quantum
+        self.name = name
+
+    def apply(self, state, inputs):
+        out = self.fn(*inputs)
+        if not isinstance(out, tuple):
+            out = (out,)
+        return state, out, {}

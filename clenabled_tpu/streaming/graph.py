@@ -1,0 +1,197 @@
+"""Flowgraph: wire blocks into a DAG, compile to ONE jitted step.
+
+The reference's hot loop pays two PCIe DMAs per block per call
+(SURVEY §3.2); here the whole chain is a single XLA program over
+HBM-resident frames — blocks exchange data through fusion, not DMA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Sequence
+
+import jax
+import numpy as np
+
+from clenabled_tpu.streaming.block import Block
+
+
+@dataclasses.dataclass(frozen=True)
+class _Edge:
+    src: Block
+    src_port: int
+    dst: Block
+    dst_port: int
+
+
+class Flowgraph:
+    """Build with connect(); compile(frame_size) returns a Runner.
+
+    ``frame_size`` is the samples-per-step at rate-1.0 edges driven by
+    external inputs; source blocks declare their own ``source_frame``.
+    """
+
+    def __init__(self):
+        self._blocks: list[Block] = []
+        self._edges: list[_Edge] = []
+        self._external: list[tuple[Block, int]] = []  # host-fed inputs
+        self._taps: list[tuple[Block, int, str]] = []  # exposed outputs
+
+    def add(self, block: Block) -> Block:
+        if block not in self._blocks:
+            self._blocks.append(block)
+        return block
+
+    def connect(self, src: Block, dst: Block, src_port: int = 0,
+                dst_port: int = 0) -> None:
+        self.add(src)
+        self.add(dst)
+        if src_port >= src.n_outputs:
+            raise ValueError(f"{src} has no output port {src_port}")
+        if dst_port >= dst.n_inputs:
+            raise ValueError(f"{dst} has no input port {dst_port}")
+        for e in self._edges:
+            if e.dst is dst and e.dst_port == dst_port:
+                raise ValueError(f"{dst} input {dst_port} already connected")
+        self._edges.append(_Edge(src, src_port, dst, dst_port))
+
+    def external_input(self, dst: Block, dst_port: int = 0) -> int:
+        """Declare a host-fed stream into ``dst``; returns the feed index
+        used in Runner.step(feeds)."""
+        self.add(dst)
+        self._external.append((dst, dst_port))
+        return len(self._external) - 1
+
+    def tap(self, src: Block, src_port: int = 0, name: str | None = None) -> str:
+        """Expose a stream output from the step (sink analogue)."""
+        self.add(src)
+        name = name or f"{src.name or type(src).__name__}_{len(self._taps)}"
+        self._taps.append((src, src_port, name))
+        return name
+
+    # ---- compilation ----
+
+    def _toposort(self) -> list[Block]:
+        incoming: dict[int, int] = {id(b): 0 for b in self._blocks}
+        for e in self._edges:
+            incoming[id(e.dst)] += 1
+        ready = [b for b in self._blocks if incoming[id(b)] == 0]
+        order: list[Block] = []
+        while ready:
+            b = ready.pop()
+            order.append(b)
+            for e in self._edges:
+                if e.src is b:
+                    incoming[id(e.dst)] -= 1
+                    if incoming[id(e.dst)] == 0:
+                        ready.append(e.dst)
+        if len(order) != len(self._blocks):
+            raise ValueError("flowgraph has a cycle")
+        return order
+
+    def compile(self, frame_size: int = 8192) -> "Runner":
+        order = self._toposort()
+        in_edges: dict[int, dict[int, _Edge]] = {id(b): {} for b in self._blocks}
+        for e in self._edges:
+            in_edges[id(e.dst)][e.dst_port] = e
+        ext_ports = {(id(b), p): i for i, (b, p) in enumerate(self._external)}
+
+        # frame-size propagation (GR's forecast, statically resolved)
+        frames: dict[tuple[int, int], int] = {}
+        for b in order:
+            if b.n_inputs == 0:
+                out = b.out_frame(0)
+            else:
+                sizes = []
+                for p in range(b.n_inputs):
+                    if (id(b), p) in ext_ports:
+                        sizes.append(frame_size)
+                    elif p in in_edges[id(b)]:
+                        e = in_edges[id(b)][p]
+                        sizes.append(frames[(id(e.src), e.src_port)])
+                    else:
+                        raise ValueError(f"{b} input {p} unconnected")
+                if len(set(sizes)) != 1:
+                    raise ValueError(f"{b} input frames disagree: {sizes}")
+                out = b.out_frame(sizes[0])
+            for p in range(b.n_outputs):
+                frames[(id(b), p)] = out
+
+        taps = list(self._taps)
+
+        def step(states: tuple, feeds: tuple):
+            values: dict[tuple[int, int], Any] = {}
+            new_states = list(states)
+            messages: dict[str, Any] = {}
+            for b in order:
+                ins = []
+                for p in range(b.n_inputs):
+                    if (id(b), p) in ext_ports:
+                        ins.append(feeds[ext_ports[(id(b), p)]])
+                    else:
+                        e = in_edges[id(b)][p]
+                        ins.append(values[(id(e.src), e.src_port)])
+                i = order.index(b)
+                st, outs, msgs = b.apply(states[i], ins)
+                new_states[i] = st
+                for p, v in enumerate(outs):
+                    values[(id(b), p)] = v
+                for k, v in msgs.items():
+                    messages[f"{b.name or type(b).__name__}.{k}"] = v
+            tapped = {name: values[(id(s), p)] for s, p, name in taps}
+            return tuple(new_states), tapped, messages
+
+        return Runner(self, order, step, frames, frame_size)
+
+
+class Runner:
+    """Owns device state, drives the jitted step, dispatches messages."""
+
+    def __init__(self, graph: Flowgraph, order: Sequence[Block],
+                 step_fn: Callable, frames: dict, frame_size: int):
+        self._graph = graph
+        self._order = list(order)
+        self._step = jax.jit(step_fn)
+        self.frames = frames
+        self.frame_size = frame_size
+        self.states = tuple(b.init_state() for b in self._order)
+        self._msg_handlers: dict[str, list[Callable]] = {}
+
+    def on_message(self, key: str, handler: Callable) -> None:
+        """Register a host callback for messages named '<block>.<port>'."""
+        self._msg_handlers.setdefault(key, []).append(handler)
+
+    def step(self, *feeds) -> dict[str, jax.Array]:
+        """Run one frame.  ``feeds`` are host arrays for the declared
+        external inputs.  Returns tapped outputs (device arrays — convert
+        with np.asarray when you need them on host)."""
+        if len(feeds) != len(self._graph._external):
+            raise ValueError(
+                f"expected {len(self._graph._external)} feeds, got {len(feeds)}"
+            )
+        for i, f in enumerate(feeds):
+            if np.shape(f)[-1] != self.frame_size:
+                raise ValueError(
+                    f"feed {i} has {np.shape(f)[-1]} samples, expected "
+                    f"frame_size={self.frame_size}"
+                )
+        states, tapped, messages = self._step(self.states, tuple(feeds))
+        self.states = states
+        for key, val in messages.items():
+            for h in self._msg_handlers.get(key, ()):
+                h(val)
+        return tapped
+
+    def run(self, feeds_iter, n_steps: int | None = None) -> list[dict]:
+        """Drive from an iterator of feed tuples; collects tapped outputs.
+        JAX's async dispatch overlaps host feed prep with device compute
+        (the role of the reference's double-buffered worker threads)."""
+        results = []
+        for i, feeds in enumerate(feeds_iter):
+            if n_steps is not None and i >= n_steps:
+                break
+            results.append(self.step(*feeds))
+        return results
+
+    def reset(self) -> None:
+        self.states = tuple(b.init_state() for b in self._order)

@@ -1,0 +1,166 @@
+"""Flowgraph/scheduler tests: the minimum end-to-end slice from SURVEY §7
+(SignalSource → Fft → MultiplyConst → probe) plus rate changes, carried
+state across frames, multi-port blocks and message dispatch."""
+
+import numpy as np
+import pytest
+
+from clenabled_tpu import blocks
+from clenabled_tpu.dsp import firdes
+from clenabled_tpu.dsp import window as win
+from clenabled_tpu.streaming import Flowgraph
+
+
+def test_minimum_slice_source_fft_multiply():
+    """BASELINE config[0]: 2048-pt forward FFT + multiply-const."""
+    fs, f0, n = 1e6, 250e3, 8192
+    g = Flowgraph()
+    src = blocks.SignalSource(fs, blocks.core.siggen.SIGSOURCE_COS, f0, 1.0, n)
+    fft = blocks.Fft(2048, window=win.blackman_harris(2048), shift=True)
+    mc = blocks.MultiplyConst(2.0)
+    g.connect(src, fft)
+    g.connect(fft, mc)
+    tap = g.tap(mc, name="out")
+    r = g.compile()
+    out = np.asarray(r.step()[tap]).reshape(4, 2048)
+    # peak at shifted bin 1024 + f0/fs*2048 = 1024+512
+    peak_bins = np.abs(out).argmax(axis=-1)
+    np.testing.assert_array_equal(peak_bins, 1024 + 512)
+    # multiply-const doubled the magnitude vs raw fft
+    g2 = Flowgraph()
+    src2 = blocks.SignalSource(fs, 1, f0, 1.0, n)
+    fft2 = blocks.Fft(2048, window=win.blackman_harris(2048), shift=True)
+    g2.connect(src2, fft2)
+    t2 = g2.tap(fft2, name="o")
+    raw = np.asarray(g2.compile().step()[t2])
+    np.testing.assert_allclose(np.abs(out.reshape(-1)), 2 * np.abs(raw),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_external_input_and_decimating_filter_chain():
+    """Host-fed stream → LPF(decim 2, freq-domain) → mag; streaming over 3
+    frames == one-shot filtering (state carried through scheduler)."""
+    rng = np.random.default_rng(0)
+    lpf = blocks.LowPassFilter(2, 1.0, 1e6, 100e3, 50e3)
+    mag = blocks.ComplexToMag()
+    g = Flowgraph()
+    feed = g.external_input(lpf)
+    g.connect(lpf, mag)
+    tap = g.tap(mag, name="m")
+    frame = lpf.quantum * 2
+    r = g.compile(frame_size=frame)
+    x = (rng.standard_normal(3 * frame) + 1j * rng.standard_normal(3 * frame)
+         ).astype(np.complex64)
+    outs = [np.asarray(r.step(x[i * frame:(i + 1) * frame])[tap]) for i in range(3)]
+    got = np.concatenate(outs)
+    taps = firdes.low_pass(1.0, 1e6, 100e3, 50e3)
+    want = np.abs(np.convolve(x, taps)[: len(x)][::2])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    assert len(got) == 3 * frame // 2
+
+
+def test_two_port_block_and_fan_out():
+    """ComplexToMagPhase (2 outs) + MagPhaseToComplex (2 ins) roundtrip."""
+    rng = np.random.default_rng(1)
+    split = blocks.ComplexToMagPhase()
+    join = blocks.MagPhaseToComplex()
+    g = Flowgraph()
+    feed = g.external_input(split)
+    g.connect(split, join, src_port=0, dst_port=0)
+    g.connect(split, join, src_port=1, dst_port=1)
+    tap = g.tap(join, name="rt")
+    r = g.compile(frame_size=1024)
+    x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)).astype(
+        np.complex64
+    )
+    got = np.asarray(r.step(x)[tap])
+    np.testing.assert_allclose(got, x, rtol=1e-4, atol=1e-5)
+
+
+def test_fm_receiver_chain():
+    """Source(FM-ish) → QuadratureDemod over multiple frames: continuous."""
+    fs, n = 1e6, 4096
+    src = blocks.SignalSource(fs, 1, 100e3, 1.0, n)
+    qd = blocks.QuadratureDemod(1.0)
+    g = Flowgraph()
+    g.connect(src, qd)
+    tap = g.tap(qd, name="demod")
+    r = g.compile()
+    o1 = np.asarray(r.step()[tap])
+    o2 = np.asarray(r.step()[tap])
+    expect = 2 * np.pi * 100e3 / fs
+    np.testing.assert_allclose(o1[1:], expect, rtol=1e-2)
+    # frame 2 has NO discontinuity at sample 0 (history carried)
+    np.testing.assert_allclose(o2, expect, rtol=1e-2)
+
+
+def test_xcorrelate_message_port():
+    """XCorrelate sink publishes corr results via message callback."""
+    rng = np.random.default_rng(2)
+    n, shift, delay = 4096, 256, 33
+    base = rng.standard_normal(3 * n).astype(np.float32)
+    a = base[1000:1000 + n]
+    b = base[1000 - delay:1000 - delay + n]
+    xc = blocks.XCorrelate(2, signal_length=n, max_search_index=shift)
+    g = Flowgraph()
+    g.external_input(xc, 0)
+    g.external_input(xc, 1)
+    r = g.compile(frame_size=n)
+    got = []
+    r.on_message("xcorr.corr", lambda m: got.append(m))
+    r.step(a, b)
+    assert len(got) == 1
+    assert bool(got[0]["valid"])
+    assert int(np.asarray(got[0]["corrective_lags"])[0]) == -delay
+
+
+def test_xcorrelate_frame_decimation():
+    n, shift = 1024, 64
+    xc = blocks.XCorrelate(2, signal_length=n, max_search_index=shift,
+                           decim_frames=3)
+    g = Flowgraph()
+    g.external_input(xc, 0)
+    g.external_input(xc, 1)
+    r = g.compile(frame_size=n)
+    valids = []
+    r.on_message("xcorr.corr", lambda m: valids.append(bool(m["valid"])))
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        a = rng.standard_normal(n).astype(np.float32)
+        r.step(a, a)
+    assert valids == [True, False, False, True, False, False]
+
+
+def test_channelizer_in_graph_rate():
+    m = 8
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.25)
+    ch = blocks.PolyphaseChannelizer(taps, 512, m, m, list(range(m)))
+    g = Flowgraph()
+    g.external_input(ch)
+    tap = g.tap(ch, name="chans")
+    r = g.compile(frame_size=512)
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal(512) + 1j * rng.standard_normal(512)).astype(
+        np.complex64
+    )
+    out = np.asarray(r.step(x)[tap])
+    assert out.shape == (512,)  # M channels × 512/M groups, interleaved
+
+
+def test_frame_quantum_validated():
+    lpf = blocks.LowPassFilter(2, 1.0, 1e6, 100e3, 50e3)
+    g = Flowgraph()
+    g.external_input(lpf)
+    g.tap(lpf)
+    with pytest.raises(ValueError):
+        g.compile(frame_size=lpf.quantum + 1)
+
+
+def test_cycle_detection():
+    a = blocks.MultiplyConst(1.0)
+    b = blocks.MultiplyConst(2.0)
+    g = Flowgraph()
+    g.connect(a, b)
+    with pytest.raises(ValueError):
+        g.connect(b, a)
+        g.compile()
