@@ -48,9 +48,14 @@ def _pfb_constants(taps, num_channels: int, ninputs_per_iter: int):
 
 
 @partial(jax.jit, static_argnames=("num_channels", "ninputs_per_iter", "ntaps"))
-def _pfb_filter(x, taps_rm, *, num_channels, ninputs_per_iter, ntaps):
+def _pfb_filter(x, taps_rm, i_offset=0, *, num_channels, ninputs_per_iter,
+                ntaps):
     """x: [T-1 + buf_items] complex64 (history at front).
-    Returns rotated subfilter outputs [nout, M] complex64."""
+    Returns rotated subfilter outputs [nout, M] complex64.
+
+    ``i_offset`` is the global output-group index of the first local group —
+    the oversampling rotation phase is global, so time-sharded callers pass
+    their shard's offset (sharding/halo.py)."""
     m, r, t = num_channels, ninputs_per_iter, ntaps
     buf_items = x.shape[-1] - (t - 1)
     nout = buf_items // r
@@ -71,16 +76,17 @@ def _pfb_filter(x, taps_rm, *, num_channels, ninputs_per_iter, ntaps):
     if r == m:
         return acc
     # oversampling rotation: out[i, (j + i*(m-r)) % m] = acc[i, j]
-    # ⇔ out[i, c] = acc[i, (c - i*(m-r)) % m]
-    i_rot = jax.lax.broadcasted_iota(jnp.int32, (nout, m), 0)
+    # ⇔ out[i, c] = acc[i, (c - i*(m-r)) % m], with i global
+    i_rot = jax.lax.broadcasted_iota(jnp.int32, (nout, m), 0) + i_offset
     c_rot = jax.lax.broadcasted_iota(jnp.int32, (nout, m), 1)
     src = jnp.mod(c_rot - i_rot * (m - r), m)
     return jnp.take_along_axis(acc, src, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("num_channels", "ninputs_per_iter", "ntaps"))
-def _channelize(x, taps_rm, ch_map, *, num_channels, ninputs_per_iter, ntaps):
-    rotated = _pfb_filter(x, taps_rm, num_channels=num_channels,
+def _channelize(x, taps_rm, ch_map, i_offset=0, *, num_channels,
+                ninputs_per_iter, ntaps):
+    rotated = _pfb_filter(x, taps_rm, i_offset, num_channels=num_channels,
                           ninputs_per_iter=ninputs_per_iter, ntaps=ntaps)
     # batched reverse FFT, scale forced 1.0 (clFFT BACKWARD with scale=1)
     z = jnp.fft.ifft(rotated, axis=-1) * num_channels

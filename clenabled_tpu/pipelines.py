@@ -1,0 +1,127 @@
+"""Flagship pipelines — the benchmark configurations from BASELINE.json.
+
+The headline: a 4-antenna frequency-domain cross-correlator + polyphase
+channelizer pipeline (north star ≥100 MSPS/chip), plus its fully sharded
+multi-chip variant (time-sharded channelizer halos + station→channel
+all_to_all X-Engine) used by __graft_entry__.dryrun_multichip and the
+scaling benchmarks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from clenabled_tpu.dsp import channelizer as dsp_chan
+from clenabled_tpu.dsp import firdes
+from clenabled_tpu.dsp import xcorr as dsp_xcorr
+from clenabled_tpu.dsp import xengine as dsp_xengine
+
+
+class FxPipelineConfig(NamedTuple):
+    num_antennas: int = 4
+    num_channels: int = 16
+    samples_per_step: int = 1 << 17   # per antenna per step
+    max_shift: int = 512              # (reserved for TD followups)
+
+
+def make_fx_pipeline(cfg: FxPipelineConfig = FxPipelineConfig(),
+                     samp_rate: float = 100e6):
+    """Single-chip flagship: per antenna a 16-channel PFB channelizer, then
+    a frequency-domain cross-correlation of every antenna against antenna 0
+    (clxcorrelate_fft_vcf role) and an X-Engine integration over the same
+    spectra (clXEngine role) — the 'interferometry receive chain' of the
+    reference's example flowgraphs, end to end in ONE jitted program.
+
+    Returns (fn, example_args): fn(x, hist) with x [A, N] complex64 and
+    hist [A, T-1] channelizer history → (fd_corr [A-1, F], xmatrix
+    [F, nb, 1], new_hist).
+    """
+    a = cfg.num_antennas
+    m = cfg.num_channels
+    proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
+                            samp_rate / (2 * m) * 0.2)
+    taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
+    n = cfg.samples_per_step
+
+    @jax.jit
+    def fn(x, hist):
+        full = jnp.concatenate([hist, x], axis=-1)  # [A, T-1+N]
+        spectra = jax.vmap(
+            lambda xa: dsp_chan._channelize(
+                xa, taps_rm, jnp.arange(m, dtype=jnp.int32),
+                num_channels=m, ninputs_per_iter=m, ntaps=ntaps)
+        )(full)                                      # [A, N/M, M]
+        new_hist = full[:, full.shape[-1] - (ntaps - 1):]
+        # FD xcorr of each antenna vs antenna 0, averaged over vector frames
+        fd = dsp_xcorr.fd_xcorr(spectra)             # [A-1, N/M, M]
+        fd_avg = fd.mean(axis=1)                     # [A-1, M]
+        # X-Engine over the channelized spectra: [T=N/M, S=A, F=M, P=1]
+        z = jnp.transpose(spectra, (1, 0, 2))[..., None]
+        xmat = dsp_xengine.xengine_correlate(z, npol=1)
+        return fd_avg, xmat, new_hist
+
+    x = jnp.zeros((a, n), jnp.complex64)
+    hist = jnp.zeros((a, ntaps - 1), jnp.complex64)
+    return fn, (x, hist)
+
+
+def make_sharded_fx_pipeline(mesh: Mesh, axis: str = "shard",
+                             cfg: FxPipelineConfig = FxPipelineConfig(),
+                             samp_rate: float = 100e6):
+    """Multi-chip flagship step over a mesh: the antenna streams are
+    TIME-sharded (each chip channelizes a time slice — halo via ring
+    ppermute), then the X-Engine re-shards spectra time→channel... in this
+    topology each chip already holds all antennas for its time slice, so the
+    Gram integration is computed per time-shard and psum-reduced across the
+    mesh (integration is a sum over time).  Collectives: 1 ppermute (halo)
+    + 1 psum (integration) per step, all ICI.
+
+    Returns (fn, example_args) with fn jitted over the mesh; x [A, D·L].
+    """
+    a = cfg.num_antennas
+    m = cfg.num_channels
+    d = mesh.shape[axis]
+    proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
+                            samp_rate / (2 * m) * 0.2)
+    taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
+    if cfg.samples_per_step < ntaps - 1:
+        raise ValueError(
+            f"per-shard block ({cfg.samples_per_step}) must be >= the "
+            f"channelizer halo ({ntaps - 1} samples)"
+        )
+    n = cfg.samples_per_step * d
+    perm = [(j, (j + 1) % d) for j in range(d)]
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, axis), P(None, None)),
+             out_specs=(P(), P(), P(None, None)))
+    def fn(x, hist):  # local x [A, L], hist [A, T-1] replicated
+        idx = jax.lax.axis_index(axis)
+        recv = jax.lax.ppermute(x[:, -(ntaps - 1):], axis, perm)
+        halo = jnp.where(idx == 0, hist, recv)
+        full = jnp.concatenate([halo, x], axis=-1)
+        spectra = jax.vmap(
+            lambda xa: dsp_chan._channelize(
+                xa, taps_rm, jnp.arange(m, dtype=jnp.int32),
+                num_channels=m, ninputs_per_iter=m, ntaps=ntaps)
+        )(full)                                      # [A, L/M, M]
+        fd = dsp_xcorr.fd_xcorr(spectra).mean(axis=1)
+        fd = jax.lax.pmean(fd, axis)                 # average over time shards
+        z = jnp.transpose(spectra, (1, 0, 2))[..., None]
+        xmat = dsp_xengine.xengine_correlate(z, npol=1)
+        xmat = jax.lax.psum(xmat, axis)              # integrate across shards
+        new_hist = jnp.where(idx == 0, recv, hist)   # frame-end tail for next
+        new_hist = jax.lax.psum(
+            jnp.where(idx == 0, new_hist, jnp.zeros_like(new_hist)), axis)
+        return fd, xmat, new_hist
+
+    x = jnp.zeros((a, n), jnp.complex64)
+    hist = jnp.zeros((a, ntaps - 1), jnp.complex64)
+    return fn, (x, hist)

@@ -1,0 +1,105 @@
+"""Block-by-block throughput benchmark — the reference's test-clenabled
+(lib/test_clenabled.cc): iterations-averaged samples/s for every block
+class.  --cpu selects the hardware-free JAX CPU backend (the role of
+OpenCL-on-CPU); positional blocksize mirrors the reference CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="block throughput benchmark")
+    ap.add_argument("blocksize", nargs="?", type=int, default=8192)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iterations", type=int, default=200)
+    ap.add_argument("--testcostas", action="store_true",
+                    help="include the (sequential) Costas loop")
+    ap.add_argument("--baseline-only", action="store_true",
+                    help="only the no-op copy baseline")
+    args = ap.parse_args()
+
+    from clenabled_tpu.tools import _timing as T
+    T.select_platform(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import (demod, elementwise as ew, fft as dsp_fft,
+                                   fft_filter, fir_filter, firdes, siggen,
+                                   window as win)
+
+    n = args.blocksize
+    it = args.iterations
+    print(f"platform: {T.platform_banner()}   blocksize: {n}   "
+          f"iterations: {it}")
+
+    a = jax.device_put(T.rand_complex(n, 1))
+    b = jax.device_put(T.rand_complex(n, 2))
+    f = jax.device_put(T.rand_float(n, 3) ** 2 + 0.1)
+    g = jax.device_put(T.rand_float(n, 4) ** 2 + 0.1)
+
+    copy = jax.jit(lambda x: x + 0)
+    T.report("empty w/copy (baseline)", n, T.time_fn(copy, a, iterations=it))
+    if args.baseline_only:
+        return
+
+    mult = jax.jit(lambda x, y: ew.math_op(ew.MATHOP_MULTIPLY, x, y))
+    T.report("multiply (cc)", n, T.time_fn(mult, a, b, iterations=it))
+    T.report("add (cc)", n, T.time_fn(
+        jax.jit(lambda x, y: x + y), a, b, iterations=it))
+    T.report("multiply conjugate", n, T.time_fn(
+        jax.jit(ew.multiply_conjugate), a, b, iterations=it))
+    T.report("complex conjugate", n, T.time_fn(
+        jax.jit(ew.complex_conjugate), a, iterations=it))
+    T.report("multiply const", n, T.time_fn(
+        jax.jit(lambda x: ew.multiply_const(x, 2.0)), a, iterations=it))
+    T.report("complex->mag", n, T.time_fn(
+        jax.jit(ew.complex_to_mag), a, iterations=it))
+    T.report("complex->arg", n, T.time_fn(
+        jax.jit(ew.complex_to_arg), a, iterations=it))
+    T.report("complex->magphase", n, T.time_fn(
+        jax.jit(ew.complex_to_mag_phase), a, iterations=it))
+    T.report("magphase->complex", n, T.time_fn(
+        jax.jit(ew.mag_phase_to_complex), f, g, iterations=it))
+    T.report("log10 (n,k)", n, T.time_fn(
+        jax.jit(lambda x: ew.log10(x, 10.0, 1.0)), f, iterations=it))
+    T.report("snr helper", n, T.time_fn(
+        jax.jit(lambda x, y: ew.snr_helper(x, y, 10.0)), f, g, iterations=it))
+
+    # signal source
+    init, gen = siggen.make_signal_source(10e6, 1, 1e6, 1.0, n)
+    st = init()
+    T.report("signal source", n, T.time_stateful(
+        lambda s, _: gen(s), st, 0, iterations=it))
+
+    # quadrature demod
+    qd = jax.jit(lambda x: demod.quadrature_demod(x, 1.0))
+    T.report("quadrature demod", n, T.time_fn(qd, a, iterations=it))
+
+    # FFT 2048 w/ window
+    w = win.blackman_harris(2048)
+    fftf = jax.jit(lambda x: dsp_fft.fft_stream(x, 2048, window=w, shift=True))
+    T.report("fft 2048 fwd+win+shift", n, T.time_fn(fftf, a, iterations=it))
+
+    # filters
+    taps = firdes.low_pass(1.0, 10e6, 1e6, 500e3)
+    fini, fapp = fir_filter.make_fir_filter(taps)
+    T.report(f"FIR filter ({len(taps)} taps)", n, T.time_stateful(
+        fapp, fini(), a, iterations=it))
+    oini, oapp, plan = fft_filter.make_fft_filter(taps)
+    q = fft_filter.frame_quantum(plan)
+    nn = (n // q) * q or q
+    a2 = jax.device_put(T.rand_complex(nn, 5))
+    T.report(f"FFT filter ({len(taps)} taps)", nn, T.time_stateful(
+        oapp, oini(), a2, iterations=it))
+
+    if args.testcostas:
+        run = demod.make_costas_loop(0.02, 2)
+        T.report("costas loop (order 2)", n, T.time_stateful(
+            run, demod.costas_init(), a, iterations=max(10, it // 10)))
+
+
+if __name__ == "__main__":
+    main()

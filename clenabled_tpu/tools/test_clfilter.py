@@ -1,0 +1,48 @@
+"""Filter benchmark — the reference's test-clfilter (lib/test-clfilter.cc):
+time-domain FIR vs frequency-domain (overlap-add) filter throughput for a
+given --ntaps, like the study tables (BASELINE.md rows 1-6)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="FIR vs FFT filter benchmark")
+    ap.add_argument("--ntaps", type=int, default=241)
+    ap.add_argument("--blocksize", type=int, default=1 << 18)
+    ap.add_argument("--decimation", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iterations", type=int, default=100)
+    args = ap.parse_args()
+
+    from clenabled_tpu.tools import _timing as T
+    T.select_platform(args)
+
+    import jax
+
+    from clenabled_tpu.dsp import fft_filter, fir_filter, firdes
+
+    # RRC like the 241-tap benchmark variant; any ntaps accepted
+    taps = firdes.root_raised_cosine(1.0, 10e6, 10e6 / (args.ntaps / 11 + 2),
+                                     0.22, args.ntaps)
+    print(f"platform: {T.platform_banner()}   ntaps: {len(taps)}   "
+          f"blocksize: {args.blocksize}   decim: {args.decimation}")
+
+    it = args.iterations
+    x = jax.device_put(T.rand_complex(args.blocksize))
+
+    fini, fapp = fir_filter.make_fir_filter(taps, args.decimation)
+    secs = T.time_stateful(fapp, fini(), x, iterations=it)
+    T.report("time-domain FIR", args.blocksize, secs)
+
+    oini, oapp, plan = fft_filter.make_fft_filter(taps, args.decimation)
+    q = fft_filter.frame_quantum(plan)
+    nn = max(1, args.blocksize // q) * q
+    x2 = jax.device_put(T.rand_complex(nn))
+    secs = T.time_stateful(oapp, oini(), x2, iterations=it)
+    T.report(f"freq-domain OFA (fft {plan.fftsize})", nn, secs)
+
+
+if __name__ == "__main__":
+    main()

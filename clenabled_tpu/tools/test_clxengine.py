@@ -1,0 +1,60 @@
+"""X-Engine benchmark — the reference's test-clxengine
+(lib/test-clxengine.cc): total & per-station complex samples/s and input
+bps "comparable to xGPU" (:297-300); defaults 256 channels, 10000
+integration frames (:67-68)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="X-Engine benchmark")
+    ap.add_argument("channels", nargs="?", type=int, default=256)
+    ap.add_argument("--num_inputs", type=int, default=16)
+    ap.add_argument("--integration-time", dest="integration", type=int,
+                    default=1024)
+    ap.add_argument("--single-polarization", dest="single_pol",
+                    action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iterations", type=int, default=50)
+    args = ap.parse_args()
+
+    from clenabled_tpu.tools import _timing as T
+    T.select_platform(args)
+
+    import jax
+    import numpy as np
+
+    from clenabled_tpu.dsp import xengine
+
+    s = args.num_inputs
+    f = args.channels
+    p = 1 if args.single_pol else 2
+    t = args.integration
+    it = args.iterations
+    nb = xengine.num_baselines(s)
+    print(f"platform: {T.platform_banner()}   stations: {s}  pols: {p}  "
+          f"channels: {f}  integration: {t}  baselines: {nb}")
+
+    rng = np.random.default_rng(0)
+    z = jax.device_put(
+        (rng.standard_normal((t, s, f, p)) + 1j * rng.standard_normal((t, s, f, p))
+         ).astype(np.complex64))
+
+    fn = jax.jit(lambda x: xengine.xengine_correlate(x, npol=p))
+    secs = T.time_fn(fn, z, iterations=it)
+
+    samples = t * f  # per-station complex samples per integration
+    total = samples * s
+    per_station_sps = samples / secs
+    total_sps = total / secs
+    in_bps = total * 8 * 8 / secs  # complex64 input bits/s
+    print(f"total: {total_sps/1e6:.1f} Msps   per-station: "
+          f"{per_station_sps/1e6:.2f} Msps   input: {in_bps/1e9:.1f} Gbps")
+    flops = 8.0 * t * f * nb * p * p  # cxmac = 8 real ops
+    print(f"correlator compute: {flops / secs / 1e12:.2f} TFLOP/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Sharded == sequential: the halo-exchange filters and the all_to_all
+X-Engine must reproduce single-device results on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from clenabled_tpu.dsp import fft_filter, fir_filter, firdes, channelizer, xengine
+from clenabled_tpu.sharding import (
+    make_mesh,
+    make_sharded_fft_filter,
+    make_sharded_fir_filter,
+    make_sharded_channelizer,
+    make_sharded_xengine,
+    sharded_xengine,
+)
+
+RNG = np.random.default_rng(31)
+
+
+def cplx(*shape):
+    return (RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)).astype(
+        np.complex64
+    )
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.shape["shard"] == 8
+
+
+def test_sharded_fir_matches_sequential():
+    mesh = make_mesh()
+    taps = firdes.low_pass(1.0, 1e6, 100e3, 50e3)
+    init_s, apply_s = make_sharded_fir_filter(taps, mesh)
+    init_q, apply_q = fir_filter.make_fir_filter(taps)
+    n = 8 * 512
+    state_s, state_q = init_s(), init_q()
+    for frame_i in range(3):
+        x = cplx(n)
+        state_s, ys = apply_s(state_s, x)
+        state_q, yq = apply_q(state_q, x)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yq),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"frame {frame_i}")
+
+
+def test_sharded_fir_with_decimation():
+    mesh = make_mesh()
+    taps = firdes.low_pass(1.0, 1e6, 50e3, 25e3)
+    init_s, apply_s = make_sharded_fir_filter(taps, mesh, decimation=4)
+    init_q, apply_q = fir_filter.make_fir_filter(taps, decimation=4)
+    n = 8 * 1024
+    x = cplx(n)
+    _, ys = apply_s(init_s(), x)
+    _, yq = apply_q(init_q(), x)
+    assert ys.shape == (n // 4,)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yq), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_ofa_matches_sequential():
+    mesh = make_mesh()
+    taps = firdes.root_raised_cosine(1.0, 10e6, 1e6, 0.22, 241)
+    init_s, apply_s, plan = make_sharded_fft_filter(taps, mesh)
+    init_q, apply_q, _ = fft_filter.make_fft_filter(taps)
+    n = 8 * plan.nsamples * 4  # per-shard: 4 chunks
+    state_s, state_q = init_s(), init_q()
+    for frame_i in range(3):
+        x = cplx(n)
+        state_s, ys = apply_s(state_s, x)
+        state_q, yq = apply_q(state_q, x)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yq),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"frame {frame_i}")
+
+
+def test_sharded_ofa_bad_block_raises():
+    mesh = make_mesh()
+    taps = firdes.low_pass(1.0, 1e6, 100e3, 20e3)
+    init_s, apply_s, plan = make_sharded_fft_filter(taps, mesh)
+    with pytest.raises(ValueError):
+        apply_s(init_s(), cplx(8 * (plan.nsamples + 1)))
+
+
+@pytest.mark.parametrize("m,r", [(8, 8), (8, 4)])
+def test_sharded_channelizer_matches_sequential(m, r):
+    mesh = make_mesh()
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.25)
+    init_s, apply_s = make_sharded_channelizer(taps, m, r, list(range(m)), mesh)
+    init_q, apply_q = channelizer.make_channelizer(taps, m, r, list(range(m)))
+    n = 8 * 16 * m
+    state_s, state_q = init_s(), init_q()
+    for frame_i in range(2):
+        x = cplx(n)
+        state_s, ys = apply_s(state_s, x)
+        state_q, yq = apply_q(state_q, x)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yq),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"frame {frame_i}")
+
+
+def test_sharded_xengine_matches_sequential():
+    mesh = make_mesh()
+    t, s, f, p = 16, 8, 16, 2
+    z = cplx(t, s, f, p)
+    got = np.asarray(sharded_xengine(z, mesh))
+    want = np.asarray(xengine.xengine_correlate(z, npol=p))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_xengine_streaming_pipeline():
+    mesh = make_mesh()
+    t, s, f, p = 8, 8, 8, 2
+    init_s, apply_s = make_sharded_xengine(s, f, p, t, mesh,
+                                           pipeline_integration=2)
+    init_q, apply_q = xengine.make_xengine(s, f, p, t, pipeline_integration=2)
+    state_s, state_q = init_s(), init_q()
+    for i in range(2):
+        z = cplx(t, s, f, p)
+        state_s, (out_s, ready_s) = apply_s(state_s, z)
+        state_q, (out_q, ready_q) = apply_q(state_q, z)
+        assert bool(ready_s) == bool(ready_q) == (i == 1)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_q),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_xengine_validates_divisibility():
+    mesh = make_mesh()
+    with pytest.raises(ValueError):
+        sharded_xengine(cplx(4, 6, 16, 2), mesh)  # 6 stations !% 8
