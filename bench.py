@@ -22,27 +22,28 @@ NORTH_STAR_MSPS = 100.0
 
 
 def main() -> None:
-    from clenabled_tpu.pipelines import FxPipelineConfig, make_fx_pipeline
+    from clenabled_tpu.pipelines import (FxPipelineConfig,
+                                         make_fx_pipeline_planar)
 
+    # planar (re,im float32) pipeline — the TPU execution path; identical
+    # math to the complex64 pipeline (see tests/test_planar_pipeline.py)
     cfg = FxPipelineConfig(num_antennas=4, num_channels=16,
                            samples_per_step=1 << 20)
-    fn, (x, hist) = make_fx_pipeline(cfg)
+    fn, (xr, xi, hr, hi) = make_fx_pipeline_planar(cfg)
 
     rng = np.random.default_rng(0)
-    x = (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape)
-         ).astype(np.complex64)
-    x = jax.device_put(x)
+    xr = jax.device_put(rng.standard_normal(xr.shape).astype(np.float32))
+    xi = jax.device_put(rng.standard_normal(xi.shape).astype(np.float32))
 
     # warmup / compile
-    out = fn(x, hist)
+    out = fn(xr, xi, hr, hi)
     jax.block_until_ready(out)
 
     iters = 30
     start = time.perf_counter()
-    h = hist
     for _ in range(iters):
-        fd, xmat, h = fn(x, h)
-    jax.block_until_ready((fd, xmat, h))
+        fd, xre, xim, hr, hi = fn(xr, xi, hr, hi)
+    jax.block_until_ready((fd, xre, xim, hr, hi))
     elapsed = time.perf_counter() - start
 
     sps = cfg.samples_per_step * iters / elapsed  # per-antenna samples/s

@@ -47,6 +47,58 @@ def _pfb_constants(taps, num_channels: int, ninputs_per_iter: int):
     return taps_rm, ntaps
 
 
+def _branch_sums_critical(comp, taps_rm, m: int, t: int, nout: int):
+    """Gather-free branch sums for the critically-sampled case (R == M).
+
+    With idx = i·M + T-1 - j - w·M and taps padded to W·M, a global shift of
+    δ = W·M - T zeros turns the commutator into a plain [nblk, M] reshape
+    with reversed lanes, and the branch filter into W shifted elementwise
+    MACs over the block axis (a depthwise conv) — pure VPU code, no gather.
+    comp: [T-1 + nout·M] float32 → [nout, M] float32.
+    """
+    w = taps_rm.shape[0]
+    delta = w * m - t
+    lp = jnp.zeros((delta,), comp.dtype)
+    xp = jnp.concatenate([lp, comp])[: (nout + w - 1) * m]
+    y = xp.reshape(nout + w - 1, m)[:, ::-1]
+    hr = taps_rm[::-1]  # hr[w', j] = taps[j + (W-1-w')·M]
+    acc = jnp.zeros((nout, m), comp.dtype)
+    for wp in range(w):
+        acc = acc + hr[wp] * jax.lax.dynamic_slice_in_dim(y, wp, nout, 0)
+    return acc
+
+
+def _branch_sums_critical_batched(comps, taps_rm, m: int, t: int, nout: int):
+    """Lane-packed variant of _branch_sums_critical for G parallel streams
+    (e.g. antennas × re/im): comps [G, T-1+nout·M] → [G, nout, M].
+
+    The per-stream block matrix is only M lanes wide (M=16 wastes 7/8 of the
+    128-lane VPU), so the G streams are packed side-by-side into [nblk, G·M]
+    before the W shifted MACs — full-lane reads, ~G× effective bandwidth.
+    """
+    g = comps.shape[0]
+    w = taps_rm.shape[0]
+    delta = w * m - t
+    lp = jnp.zeros((g, delta), comps.dtype)
+    xp = jnp.concatenate([lp, comps], axis=-1)[:, : (nout + w - 1) * m]
+    nblk = nout + w - 1
+    y = xp.reshape(g, nblk, m)[..., ::-1]
+    y = jnp.transpose(y, (1, 0, 2)).reshape(nblk, g * m)  # [nblk, G*M]
+    hr = jnp.tile(taps_rm[::-1], (1, g))                   # [W, G*M]
+    acc = jnp.zeros((nout, g * m), comps.dtype)
+    for wp in range(w):
+        acc = acc + hr[wp] * jax.lax.dynamic_slice_in_dim(y, wp, nout, 0)
+    return jnp.transpose(acc.reshape(nout, g, m), (1, 0, 2))
+
+
+def _branch_sums_gather(comp, taps_rm, gather_idx, nout: int, w: int, m: int):
+    """General-R branch sums via explicit commutator gather (oversampled
+    output); slower on TPU than the critical path above."""
+    wr = jnp.take(comp, gather_idx, axis=-1).reshape(nout, w, m)
+    return jnp.einsum("iwj,wj->ij", wr, taps_rm,
+                      preferred_element_type=jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("num_channels", "ninputs_per_iter", "ntaps"))
 def _pfb_filter(x, taps_rm, i_offset=0, *, num_channels, ninputs_per_iter,
                 ntaps):
@@ -60,19 +112,24 @@ def _pfb_filter(x, taps_rm, i_offset=0, *, num_channels, ninputs_per_iter,
     buf_items = x.shape[-1] - (t - 1)
     nout = buf_items // r
     w = taps_rm.shape[0]
-    # commutator windows: win[i, n] = x[i*r + t-1 - n], n in [0, w*m)
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (nout, w * m), 0)
-    n_idx = jax.lax.broadcasted_iota(jnp.int32, (nout, w * m), 1)
-    gather_idx = i_idx * r + (t - 1) - n_idx
-    # n may exceed t-1 when branch padding rounds up; clamp (padded taps are 0)
-    gather_idx = jnp.clip(gather_idx, 0, x.shape[-1] - 1)
-    windows = jnp.take(x, gather_idx, axis=-1)  # [nout, w*m]
-    wr = windows.reshape(nout, w, m)
-    acc = (jnp.einsum("iwj,wj->ij", wr.real, taps_rm,
-                      preferred_element_type=jnp.float32)
-           + 1j * jnp.einsum("iwj,wj->ij", wr.imag, taps_rm,
-                             preferred_element_type=jnp.float32)
-           ).astype(jnp.complex64)
+    if r == m:
+        acc = (_branch_sums_critical(x.real.astype(jnp.float32), taps_rm,
+                                     m, t, nout)
+               + 1j * _branch_sums_critical(x.imag.astype(jnp.float32),
+                                            taps_rm, m, t, nout)
+               ).astype(jnp.complex64)
+    else:
+        # commutator windows: win[i, n] = x[i*r + t-1 - n], n in [0, w*m)
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (nout, w * m), 0)
+        n_idx = jax.lax.broadcasted_iota(jnp.int32, (nout, w * m), 1)
+        gather_idx = i_idx * r + (t - 1) - n_idx
+        # n may exceed t-1 when branch padding rounds up; clamp (taps are 0)
+        gather_idx = jnp.clip(gather_idx, 0, x.shape[-1] - 1)
+        acc = (_branch_sums_gather(x.real.astype(jnp.float32), taps_rm,
+                                   gather_idx, nout, w, m)
+               + 1j * _branch_sums_gather(x.imag.astype(jnp.float32),
+                                          taps_rm, gather_idx, nout, w, m)
+               ).astype(jnp.complex64)
     if r == m:
         return acc
     # oversampling rotation: out[i, (j + i*(m-r)) % m] = acc[i, j]
@@ -91,6 +148,40 @@ def _channelize(x, taps_rm, ch_map, i_offset=0, *, num_channels,
     # batched reverse FFT, scale forced 1.0 (clFFT BACKWARD with scale=1)
     z = jnp.fft.ifft(rotated, axis=-1) * num_channels
     return z[:, ch_map].astype(jnp.complex64)
+
+
+@partial(jax.jit, static_argnames=("num_channels", "ninputs_per_iter", "ntaps"))
+def _channelize_planar(x, taps_rm, ch_map, i_offset=0, *, num_channels,
+                       ninputs_per_iter, ntaps):
+    """Planar-complex channelize: x is a planar.PC of [T-1+buf] streams.
+    Same math as _channelize with the batched reverse FFT as an unscaled
+    inverse DFT matmul (dsp.planar) — the complex64-free TPU path."""
+    from clenabled_tpu.dsp import planar
+
+    m, r, t = num_channels, ninputs_per_iter, ntaps
+    buf_items = x.re.shape[-1] - (t - 1)
+    nout = buf_items // r
+    w = taps_rm.shape[0]
+    if r == m:
+        branch_sums = lambda comp: _branch_sums_critical(comp, taps_rm, m, t,
+                                                         nout)
+    else:
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (nout, w * m), 0)
+        n_idx = jax.lax.broadcasted_iota(jnp.int32, (nout, w * m), 1)
+        gather_idx = jnp.clip(i_idx * r + (t - 1) - n_idx, 0,
+                              x.re.shape[-1] - 1)
+        branch_sums = lambda comp: _branch_sums_gather(comp, taps_rm,
+                                                       gather_idx, nout, w, m)
+
+    acc = planar.PC(branch_sums(x.re), branch_sums(x.im))
+    if r != m:
+        i_rot = jax.lax.broadcasted_iota(jnp.int32, (nout, m), 0) + i_offset
+        c_rot = jax.lax.broadcasted_iota(jnp.int32, (nout, m), 1)
+        src = jnp.mod(c_rot - i_rot * (m - r), m)
+        acc = planar.PC(jnp.take_along_axis(acc.re, src, axis=-1),
+                        jnp.take_along_axis(acc.im, src, axis=-1))
+    z = planar.ifft_unscaled(acc)  # reverse FFT, scale forced 1.0
+    return planar.PC(z.re[:, ch_map], z.im[:, ch_map])
 
 
 def polyphase_channelize(x, taps, num_channels: int, ninputs_per_iter: int,

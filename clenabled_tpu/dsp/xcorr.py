@@ -106,6 +106,24 @@ def td_xcorr(signals, max_shift: int) -> XCorrResult:
     )
 
 
+def fd_xcorr_planar(vectors, perform_fft_first: bool = False):
+    """Planar-complex FD correlator: vectors is a planar.PC of
+    [nsignals, ..., fft_size].  Same semantics as fd_xcorr; the
+    complex64-free TPU path (inverse DFT as MXU matmul)."""
+    from clenabled_tpu.dsp import planar
+
+    v = vectors
+    if perform_fft_first:
+        v = planar.fft(v)
+    n = v.re.shape[-1]
+    ref = planar.PC(v.re[0], v.im[0])
+    sig = planar.PC(v.re[1:], v.im[1:])
+    prod = planar.mul_conj(ref, sig)
+    z = planar.ifft_unscaled(prod)
+    mag = planar.pabs(z)
+    return jnp.roll(mag, n // 2, axis=-1)  # fftshift
+
+
 @partial(jax.jit, static_argnames=("perform_fft_first",))
 def fd_xcorr(vectors, perform_fft_first: bool = False):
     """Frequency-domain correlator over FFT-size vectors.

@@ -122,6 +122,35 @@ def xengine_correlate(z, npol: int = 2,
     return g[:, rows, cols]               # [F, nb, p²]
 
 
+def xengine_correlate_planar(z, npol: int = 2,
+                             output_format: int = CLXCORR_TRIANGULAR_ORDER):
+    """Planar-complex X-Engine: z is a planar.PC of [T, S, F, P].  Returns a
+    planar.PC result — same math as xengine_correlate (which already
+    decomposes into 4 real matmuls internally), with no complex64 anywhere
+    (the axon-safe TPU path)."""
+    from clenabled_tpu.dsp import planar
+
+    t, s, f, p = z.re.shape
+    if p != npol:
+        raise ValueError(f"input has {p} pols, expected {npol}")
+    zr = jnp.transpose(z.re, (0, 1, 3, 2)).reshape(t, s * p, f)
+    zi = jnp.transpose(z.im, (0, 1, 3, 2)).reshape(t, s * p, f)
+    rr = jnp.einsum("tif,tjf->fij", zr, zr, preferred_element_type=jnp.float32)
+    ii = jnp.einsum("tif,tjf->fij", zi, zi, preferred_element_type=jnp.float32)
+    ri = jnp.einsum("tif,tjf->fij", zr, zi, preferred_element_type=jnp.float32)
+    ir = jnp.einsum("tif,tjf->fij", zi, zr, preferred_element_type=jnp.float32)
+    g = planar.PC(rr + ii, ir - ri)
+    if output_format == CLXCORR_FULL_MATRIX:
+        return g
+    st = baseline_stations(s)
+    s1, s2 = jnp.asarray(st[:, 0]), jnp.asarray(st[:, 1])
+    p0 = jnp.arange(p).repeat(p)
+    p1 = jnp.tile(jnp.arange(p), p)
+    rows = s1[:, None] * p + p0[None, :]
+    cols = s2[:, None] * p + p1[None, :]
+    return planar.PC(g.re[:, rows, cols], g.im[:, rows, cols])
+
+
 class XEngineState(NamedTuple):
     """On-device accumulation state for pipeline integration — the role of
     the reference's GPU-side '+=' kernels + enqueueFillBuffer zeroing

@@ -71,6 +71,46 @@ def make_fx_pipeline(cfg: FxPipelineConfig = FxPipelineConfig(),
     return fn, (x, hist)
 
 
+def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
+                            samp_rate: float = 100e6):
+    """Planar-complex flagship (the TPU execution path — no complex64
+    anywhere; see dsp.planar).  fn(xr, xi, hr, hi) → (fd_avg,
+    xmat_re, xmat_im, new_hr, new_hi), all float32."""
+    from clenabled_tpu.dsp import planar
+    from clenabled_tpu.dsp import xcorr as dsp_xcorr_mod
+
+    a = cfg.num_antennas
+    m = cfg.num_channels
+    proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
+                            samp_rate / (2 * m) * 0.2)
+    taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
+    n = cfg.samples_per_step
+    ch_all = jnp.arange(m, dtype=jnp.int32)
+
+    taps_rm_j = jnp.asarray(taps_rm)
+
+    @jax.jit
+    def fn(xr, xi, hr, hi):
+        full = planar.PC(jnp.concatenate([hr, xr], axis=-1),
+                         jnp.concatenate([hi, xi], axis=-1))  # [A, T-1+N]
+        # lane-packed PFB over all antennas × (re, im) at once
+        comps = jnp.concatenate([full.re, full.im], axis=0)   # [2A, L]
+        acc = dsp_chan._branch_sums_critical_batched(
+            comps, taps_rm_j, m, ntaps, n // m)               # [2A, N/M, M]
+        spec = planar.ifft_unscaled(planar.PC(acc[:a], acc[a:]))
+        new_hr = full.re[:, full.re.shape[-1] - (ntaps - 1):]
+        new_hi = full.im[:, full.im.shape[-1] - (ntaps - 1):]
+        fd = dsp_xcorr_mod.fd_xcorr_planar(spec).mean(axis=1)  # [A-1, M]
+        z = planar.PC(jnp.transpose(spec.re, (1, 0, 2))[..., None],
+                      jnp.transpose(spec.im, (1, 0, 2))[..., None])
+        xmat = dsp_xengine.xengine_correlate_planar(z, npol=1)
+        return fd, xmat.re, xmat.im, new_hr, new_hi
+
+    x = jnp.zeros((a, n), jnp.float32)
+    hist = jnp.zeros((a, ntaps - 1), jnp.float32)
+    return fn, (x, x, hist, hist)
+
+
 def make_sharded_fx_pipeline(mesh: Mesh, axis: str = "shard",
                              cfg: FxPipelineConfig = FxPipelineConfig(),
                              samp_rate: float = 100e6):

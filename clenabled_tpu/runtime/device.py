@@ -75,6 +75,25 @@ def set_default_mesh(mesh: Mesh) -> DeviceContext:
         return _context
 
 
+def supports_complex() -> bool:
+    """Capability probe — the analogue of GRCLBase's fp64/FMA probes
+    (lib/GRCLBase.cpp:300-342) deciding kernel codegen.  The 'axon' PJRT
+    backend (tunneled TPU) has no complex64 support at all — and a single
+    complex op poisons the whole client session — so anything running there
+    must use the planar (re, im) float32 path (dsp.planar)."""
+    return not is_axon()
+
+
+def is_axon() -> bool:
+    """True when running through the experimental axon TPU tunnel (its
+    devices report platform 'tpu', so detect via the registered backend)."""
+    try:
+        import jax._src.xla_bridge as xb
+        return "axon" in xb.backends()
+    except Exception:  # pragma: no cover - defensive
+        return False
+
+
 def device_info() -> list[dict]:
     """Per-device capability summary — the role of `clview`
     (lib/clview.cc:43-246: platform/device ids, clock, compute units,
