@@ -28,7 +28,7 @@ def main() -> None:
     # planar (re,im float32) pipeline — the TPU execution path; identical
     # math to the complex64 pipeline (see tests/test_planar_pipeline.py)
     cfg = FxPipelineConfig(num_antennas=4, num_channels=16,
-                           samples_per_step=1 << 20)
+                           samples_per_step=1 << 21)
     fn, (xr, xi, hr, hi) = make_fx_pipeline_planar(cfg)
 
     rng = np.random.default_rng(0)

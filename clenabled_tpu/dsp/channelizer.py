@@ -68,13 +68,13 @@ def _branch_sums_critical(comp, taps_rm, m: int, t: int, nout: int):
     return acc
 
 
-def _branch_sums_critical_batched(comps, taps_rm, m: int, t: int, nout: int):
-    """Lane-packed variant of _branch_sums_critical for G parallel streams
-    (e.g. antennas × re/im): comps [G, T-1+nout·M] → [G, nout, M].
+def _pack_streams(comps, taps_rm, m: int, t: int, nout: int):
+    """Lane-pack G parallel streams for the critically-sampled PFB.
 
-    The per-stream block matrix is only M lanes wide (M=16 wastes 7/8 of the
-    128-lane VPU), so the G streams are packed side-by-side into [nblk, G·M]
-    before the W shifted MACs — full-lane reads, ~G× effective bandwidth.
+    comps [G, T-1+nout·M] → (y [nout+W-1, G·M], hr [W, G·M]) such that
+    acc[i, g·M+j] = Σ_wp hr[wp, g·M+j] · y[i+wp, g·M+j] equals the branch
+    sums of stream g, subfilter j.  Packing G streams side-by-side fills the
+    128-lane VPU (a single M=16 stream wastes 7/8 of each vector).
     """
     g = comps.shape[0]
     w = taps_rm.shape[0]
@@ -85,6 +85,16 @@ def _branch_sums_critical_batched(comps, taps_rm, m: int, t: int, nout: int):
     y = xp.reshape(g, nblk, m)[..., ::-1]
     y = jnp.transpose(y, (1, 0, 2)).reshape(nblk, g * m)  # [nblk, G*M]
     hr = jnp.tile(taps_rm[::-1], (1, g))                   # [W, G*M]
+    return y, hr
+
+
+def _branch_sums_critical_batched(comps, taps_rm, m: int, t: int, nout: int):
+    """Lane-packed branch sums for G parallel streams (e.g. antennas ×
+    re/im): comps [G, T-1+nout·M] → [G, nout, M] (XLA path; the fused
+    Pallas kernel in dsp.pallas_kernels additionally folds in the DFT)."""
+    g = comps.shape[0]
+    w = taps_rm.shape[0]
+    y, hr = _pack_streams(comps, taps_rm, m, t, nout)
     acc = jnp.zeros((nout, g * m), comps.dtype)
     for wp in range(w):
         acc = acc + hr[wp] * jax.lax.dynamic_slice_in_dim(y, wp, nout, 0)

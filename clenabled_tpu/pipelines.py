@@ -72,10 +72,15 @@ def make_fx_pipeline(cfg: FxPipelineConfig = FxPipelineConfig(),
 
 
 def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
-                            samp_rate: float = 100e6):
+                            samp_rate: float = 100e6,
+                            use_pallas: bool | None = None):
     """Planar-complex flagship (the TPU execution path — no complex64
     anywhere; see dsp.planar).  fn(xr, xi, hr, hi) → (fd_avg,
-    xmat_re, xmat_im, new_hr, new_hi), all float32."""
+    xmat_re, xmat_im, new_hr, new_hi), all float32.
+
+    use_pallas: run the channelizer front-end as the fused single-pass
+    Pallas kernel (dsp.pallas_kernels).  Default: on for TPU platforms,
+    off for CPU."""
     from clenabled_tpu.dsp import planar
     from clenabled_tpu.dsp import xcorr as dsp_xcorr_mod
 
@@ -88,6 +93,12 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
     ch_all = jnp.arange(m, dtype=jnp.int32)
 
     taps_rm_j = jnp.asarray(taps_rm)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    nout = n // m
+    tile = 512
+    while use_pallas and nout % tile:
+        tile //= 2
 
     @jax.jit
     def fn(xr, xi, hr, hi):
@@ -95,9 +106,17 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
                          jnp.concatenate([hi, xi], axis=-1))  # [A, T-1+N]
         # lane-packed PFB over all antennas × (re, im) at once
         comps = jnp.concatenate([full.re, full.im], axis=0)   # [2A, L]
-        acc = dsp_chan._branch_sums_critical_batched(
-            comps, taps_rm_j, m, ntaps, n // m)               # [2A, N/M, M]
-        spec = planar.ifft_unscaled(planar.PC(acc[:a], acc[a:]))
+        if use_pallas:
+            from clenabled_tpu.dsp import pallas_kernels
+            y, hrt = dsp_chan._pack_streams(comps, taps_rm_j, m, ntaps, nout)
+            z = pallas_kernels.pfb_channelize_packed(y, hrt, a, m, tile=tile)
+            zs = z.reshape(nout, 2 * a, m)
+            spec = planar.PC(jnp.transpose(zs[:, :a], (1, 0, 2)),
+                             jnp.transpose(zs[:, a:], (1, 0, 2)))
+        else:
+            acc = dsp_chan._branch_sums_critical_batched(
+                comps, taps_rm_j, m, ntaps, nout)             # [2A, N/M, M]
+            spec = planar.ifft_unscaled(planar.PC(acc[:a], acc[a:]))
         new_hr = full.re[:, full.re.shape[-1] - (ntaps - 1):]
         new_hi = full.im[:, full.im.shape[-1] - (ntaps - 1):]
         fd = dsp_xcorr_mod.fd_xcorr_planar(spec).mean(axis=1)  # [A-1, M]
