@@ -29,9 +29,28 @@ class SignalSource(Block):
         strip_legacy_kwargs(legacy)
         self.name = name
         self.source_frame = frame_size
+        self._params = dict(samp_rate=samp_rate, waveform=waveform,
+                            amplitude=amplitude, frame_size=frame_size,
+                            dtype=dtype)
+        self._frequency = freq
+        self._build()
+
+    def _build(self):
+        p = self._params
         self._init, self._gen = siggen.make_signal_source(
-            samp_rate, waveform, freq, amplitude, frame_size, dtype=dtype
+            p["samp_rate"], p["waveform"], self._frequency, p["amplitude"],
+            p["frame_size"], dtype=p["dtype"]
         )
+
+    def frequency(self) -> float:
+        return self._frequency
+
+    def set_frequency(self, freq: float) -> None:
+        """Runtime retune (lib/clSignalSource_impl.cc:250-258).  Rebuilds
+        the phase ramp; the carried phase in Runner state stays valid so
+        the waveform is phase-continuous at the retune boundary."""
+        self._frequency = freq
+        self._build()
 
     def init_state(self):
         return self._init()
@@ -43,11 +62,13 @@ class SignalSource(Block):
 
 class Fft(Block):
     """clFFT (lib/clFFT_impl.cc): stream→stream FFT over fft_size vectors
-    with window taps and shift semantics.  num_streams handled by running
-    one block per stream (streams are graph edges here)."""
+    with window taps and shift semantics.  ``num_streams`` gives the block
+    N parallel in/out ports transformed in one call, exactly like the
+    reference's multi-stream loop (lib/clFFT_impl.cc:537)."""
 
     def __init__(self, fft_size: int, direction: int = dsp_fft.FORWARD,
-                 window=None, shift: bool = False, name: str = "", **legacy):
+                 window=None, shift: bool = False, num_streams: int = 1,
+                 name: str = "", **legacy):
         strip_legacy_kwargs(legacy)
         if window is not None and len(window) != fft_size:
             raise ValueError("window length must equal fft_size")
@@ -57,12 +78,16 @@ class Fft(Block):
         self.window = None if window is None else jnp.asarray(window, jnp.float32)
         self.shift = shift
         self.quantum = fft_size
+        self.n_inputs = num_streams
+        self.n_outputs = num_streams
 
     def apply(self, state, inputs):
-        out = dsp_fft.fft_stream(inputs[0], self.fft_size,
-                                 direction=self.direction,
-                                 window=self.window, shift=self.shift)
-        return state, (out,), {}
+        outs = tuple(
+            dsp_fft.fft_stream(x, self.fft_size, direction=self.direction,
+                               window=self.window, shift=self.shift)
+            for x in inputs
+        )
+        return state, outs, {}
 
 
 class MathOp(Block):
