@@ -40,8 +40,10 @@ def compute_sizes(ntaps: int) -> tuple[int, int]:
 
 class FftFilterPlan(NamedTuple):
     """Design-time constants (the analogue of the baked clFFT plan +
-    pre-transformed taps, lib/fft_filter.cc:40-68)."""
-    xformed_taps: jax.Array  # [fftsize] complex64: FFT of zero-padded taps
+    pre-transformed taps, lib/fft_filter.cc:40-68).  xformed_taps stays a
+    HOST numpy array: on backends without complex64 (axon) it must never be
+    device-put — the planar path splits it into float32 parts."""
+    xformed_taps: np.ndarray  # [fftsize] complex64: FFT of zero-padded taps
     ntaps: int
     fftsize: int
     nsamples: int
@@ -56,7 +58,7 @@ def plan_fft_filter(taps, decimation: int = 1) -> FftFilterPlan:
     padded[:ntaps] = taps.astype(np.complex64)
     # net scaling matches the reference (taps pre-scaled 1/fftsize, both
     # transforms unscaled): equivalent to standard fft/ifft pair here.
-    xt = jnp.asarray(np.fft.fft(padded).astype(np.complex64))
+    xt = np.fft.fft(padded).astype(np.complex64)
     return FftFilterPlan(xformed_taps=xt, ntaps=ntaps, fftsize=fftsize,
                          nsamples=nsamples, decimation=decimation)
 
@@ -87,6 +89,57 @@ def _ofa_filter(x, tail, xformed_taps, *, nsamples, fftsize, ntaps, decimation):
     return y.astype(jnp.complex64), tails[-1].astype(jnp.complex64)
 
 
+@partial(jax.jit, static_argnames=("nsamples", "fftsize", "ntaps", "decimation"))
+def _ofa_filter_planar(xr, xi, tail_r, tail_i, taps_r, taps_i, *, nsamples,
+                       fftsize, ntaps, decimation):
+    """Planar (complex-free) overlap-add — same math as _ofa_filter with the
+    chunk FFTs as matmul DFTs (dsp.planar); the TPU path on backends
+    without complex64."""
+    from clenabled_tpu.dsp import planar
+
+    nchunks = xr.shape[-1] // nsamples
+    pad = jnp.zeros((nchunks, fftsize - nsamples), jnp.float32)
+    xb = planar.PC(
+        jnp.concatenate([xr.reshape(nchunks, nsamples), pad], axis=-1),
+        jnp.concatenate([xi.reshape(nchunks, nsamples), pad], axis=-1))
+    spect = planar.fft(xb)
+    z = planar.ifft(planar.mul(spect, planar.PC(taps_r, taps_i)))
+    tails_r, tails_i = z.re[:, nsamples:], z.im[:, nsamples:]
+    prev_r = jnp.concatenate([tail_r[None, :], tails_r[:-1]], axis=0)
+    prev_i = jnp.concatenate([tail_i[None, :], tails_i[:-1]], axis=0)
+    yr = z.re[:, :nsamples].at[:, : ntaps - 1].add(prev_r).reshape(-1)
+    yi = z.im[:, :nsamples].at[:, : ntaps - 1].add(prev_i).reshape(-1)
+    if decimation > 1:
+        yr, yi = yr[::decimation], yi[::decimation]
+    return yr, yi, tails_r[-1], tails_i[-1]
+
+
+def make_fft_filter_planar(taps, decimation: int = 1):
+    """Planar streaming OFA filter: (init_state, apply, plan) with
+    apply((tail_r, tail_i), (xr, xi)) → (state, (yr, yi))."""
+    plan = plan_fft_filter(taps, decimation)
+    quantum = frame_quantum(plan)
+    taps_r = jnp.asarray(plan.xformed_taps.real.copy(), jnp.float32)
+    taps_i = jnp.asarray(plan.xformed_taps.imag.copy(), jnp.float32)
+
+    def init_state():
+        z = jnp.zeros((plan.ntaps - 1,), jnp.float32)
+        return (z, z)
+
+    def apply(state, frame):
+        xr, xi = frame
+        if xr.shape[-1] % quantum:
+            raise ValueError(
+                f"frame length {xr.shape[-1]} must be a multiple of {quantum}")
+        yr, yi, tr, ti = _ofa_filter_planar(
+            xr, xi, state[0], state[1], taps_r, taps_i,
+            nsamples=plan.nsamples, fftsize=plan.fftsize,
+            ntaps=plan.ntaps, decimation=plan.decimation)
+        return (tr, ti), (yr, yi)
+
+    return init_state, apply, plan
+
+
 def make_fft_filter(taps, decimation: int = 1):
     """Streaming overlap-add filter: (init_state, apply, plan).
 
@@ -96,6 +149,7 @@ def make_fft_filter(taps, decimation: int = 1):
     """
     plan = plan_fft_filter(taps, decimation)
     quantum = frame_quantum(plan)
+    xformed = jnp.asarray(plan.xformed_taps)  # device-resident once
 
     def init_state(frame_size: int | None = None):
         del frame_size
@@ -109,7 +163,7 @@ def make_fft_filter(taps, decimation: int = 1):
                 f"{quantum} (nsamples={plan.nsamples}, decim={decimation})"
             )
         out, new_tail = _ofa_filter(
-            frame, tail, plan.xformed_taps,
+            frame, tail, xformed,
             nsamples=plan.nsamples, fftsize=plan.fftsize,
             ntaps=plan.ntaps, decimation=plan.decimation,
         )

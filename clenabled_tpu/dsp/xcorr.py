@@ -78,6 +78,57 @@ def _td_xcorr_pair(ref_mag, sig_mag, max_shift: int):
     return corr.astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("max_shift",))
+def _td_xcorr_pair_planar(ref_mag, sig_mag, max_shift: int):
+    """Complex-free lag scan (axon/TPU path): identical to _td_xcorr_pair
+    with the FFT cross-correlation done in planar form (matmul DFTs)."""
+    from clenabled_tpu.dsp import planar
+
+    n = ref_mag.shape[-1]
+    xx = ref_mag * ref_mag
+    yy = sig_mag * sig_mag
+    cxx = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(xx)])
+    cyy = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(yy)])
+
+    p = 1
+    while p < n + max_shift:
+        p <<= 1
+    zpad = jnp.zeros((p - n,), jnp.float32)
+    fr = planar.fft(planar.PC(jnp.concatenate([ref_mag, zpad]),
+                              jnp.zeros((p,), jnp.float32)))
+    fs = planar.fft(planar.PC(jnp.concatenate([sig_mag, zpad]),
+                              jnp.zeros((p,), jnp.float32)))
+    cc = planar.ifft(planar.mul_conj(fr, fs)).re
+
+    g = jnp.arange(2 * max_shift)
+    shift = g - max_shift
+    pos = shift > 0
+    s_abs = jnp.abs(shift)
+    num = jnp.where(pos, cc[jnp.clip(shift, 0, p - 1)],
+                    cc[jnp.where(s_abs == 0, 0, p - s_abs)])
+    total_xx = cxx[n]
+    total_yy = cyy[n]
+    sum_x2 = jnp.where(pos, total_xx - cxx[s_abs], cxx[n - s_abs])
+    sum_y2 = jnp.where(pos, cyy[n - s_abs], total_yy - cyy[s_abs])
+    denom = sum_x2 * sum_y2
+    corr = jnp.where(denom != 0.0, num * jax.lax.rsqrt(denom), -2.0)
+    return corr.astype(jnp.float32)
+
+
+def td_xcorr_planar(mags, max_shift: int) -> "XCorrResult":
+    """Complex-free td_xcorr over magnitude (or real float) sequences
+    [nsignals, n] — for complex streams, take planar.pabs first."""
+    mags = jnp.asarray(mags, jnp.float32)
+    ref = mags[0]
+    scan = jax.vmap(lambda s: _td_xcorr_pair_planar(ref, s, max_shift))(mags[1:])
+    best = jnp.argmax(scan, axis=-1)
+    return XCorrResult(
+        corr=jnp.take_along_axis(scan, best[:, None], axis=-1)[:, 0],
+        lag=(best - max_shift).astype(jnp.int32),
+        corr_vectors=scan,
+    )
+
+
 class XCorrResult(NamedTuple):
     """The PDU payload of clXCorrelate (:1594-1601): per non-reference
     signal, the best correlation and the corrective lag."""

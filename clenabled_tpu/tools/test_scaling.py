@@ -1,0 +1,76 @@
+"""Multi-chip scaling benchmark — the measurement the north star asks for
+(≥80% scaling efficiency): runs the SHARDED flagship pipeline over meshes of
+1..N devices and reports weak-scaling throughput and efficiency.
+
+On this session's hardware only one real chip exists, so the default run
+uses the virtual CPU mesh (hardware-free path, like every sharding test);
+on a real multi-chip slice the same command measures ICI scaling:
+
+    python -m clenabled_tpu.tools.test_scaling --devices 1 2 4 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="sharded pipeline scaling")
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--samples-per-chip", type=int, default=1 << 16)
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the virtual CPU mesh")
+    args = ap.parse_args()
+
+    import os
+    if args.cpu or True in []:
+        pass
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from clenabled_tpu.pipelines import (FxPipelineConfig,
+                                         make_sharded_fx_pipeline)
+
+    avail = len(jax.devices())
+    sizes = [d for d in args.devices if d <= avail]
+    if not sizes:
+        raise SystemExit(f"no requested mesh size fits {avail} devices")
+
+    print(f"platform: {jax.devices()[0].platform} x{avail}   "
+          f"samples/chip/step: {args.samples_per_chip}")
+    base_msps = None
+    for d in sizes:
+        mesh = Mesh(np.array(jax.devices()[:d]), ("shard",))
+        cfg = FxPipelineConfig(num_antennas=4, num_channels=16,
+                               samples_per_step=args.samples_per_chip)
+        fn, (x, hist) = make_sharded_fx_pipeline(mesh, cfg=cfg)
+        rng = np.random.default_rng(0)
+        x = jax.device_put(
+            (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape)
+             ).astype(np.complex64))
+        out = fn(x, hist)
+        jax.block_until_ready(out)
+        start = time.perf_counter()
+        h = hist
+        for _ in range(args.iterations):
+            fd, xmat, h = fn(x, h)
+        jax.block_until_ready((fd, xmat, h))
+        elapsed = time.perf_counter() - start
+        total_msps = args.samples_per_chip * d * args.iterations / elapsed / 1e6
+        per_chip = total_msps / d
+        if base_msps is None:
+            base_msps = per_chip
+        eff = per_chip / base_msps * 100.0
+        print(f"  {d} device(s): {total_msps:8.2f} MSPS total   "
+              f"{per_chip:8.2f} MSPS/chip   efficiency {eff:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()

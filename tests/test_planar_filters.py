@@ -1,0 +1,46 @@
+"""Planar OFA filter and planar TD xcorr parity vs the complex paths."""
+
+import numpy as np
+
+from clenabled_tpu.dsp import fft_filter, firdes, xcorr
+
+RNG = np.random.default_rng(55)
+
+
+def test_planar_ofa_matches_complex():
+    taps = firdes.root_raised_cosine(1.0, 10e6, 1e6, 0.22, 241)
+    ic, ac, plan = fft_filter.make_fft_filter(taps)
+    ip, ap, _ = fft_filter.make_fft_filter_planar(taps)
+    n = plan.nsamples * 8
+    sc, sp = ic(), ip()
+    for _ in range(3):
+        x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
+            np.complex64)
+        sc, yc = ac(sc, x)
+        sp, (yr, yi) = ap(sp, (x.real.copy(), x.imag.copy()))
+        np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
+                                   np.asarray(yc), rtol=2e-3, atol=2e-3)
+
+
+def test_planar_ofa_decimation():
+    taps = firdes.low_pass(1.0, 1e6, 80e3, 20e3)
+    ic, ac, plan = fft_filter.make_fft_filter(taps, decimation=4)
+    ip, ap, _ = fft_filter.make_fft_filter_planar(taps, decimation=4)
+    q = fft_filter.frame_quantum(plan)
+    x = (RNG.standard_normal(2 * q) + 1j * RNG.standard_normal(2 * q)).astype(
+        np.complex64)
+    _, yc = ac(ic(), x)
+    _, (yr, yi) = ap(ip(), (x.real.copy(), x.imag.copy()))
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
+                               np.asarray(yc), rtol=2e-3, atol=2e-3)
+
+
+def test_planar_td_xcorr_matches():
+    n, shift = 4096, 256
+    sigs = RNG.standard_normal((3, n)).astype(np.float32)
+    want = xcorr.td_xcorr(sigs, shift)
+    got = xcorr.td_xcorr_planar(sigs, shift)
+    np.testing.assert_allclose(np.asarray(got.corr_vectors),
+                               np.asarray(want.corr_vectors),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(got.lag), np.asarray(want.lag))
