@@ -63,6 +63,91 @@ def _idft_block_matrix(m: int, num_antennas: int) -> np.ndarray:
     return mat
 
 
+def _fir_kernel(x_hbm, taps_ref, out_ref, scratch, sem, *, tile_rows, halo_rows,
+                ntaps):
+    """Direct FIR as in-VMEM shifted MACs.
+
+    Layout: the padded stream is [rows, 128]; output row block i needs input
+    rows [i·R − H, i·R + R) (H halo rows of history above).  A shift by k =
+    q·128 + r samples decomposes into a lane roll by r and a row shift by q
+    (plus one extra row when the roll wraps), so the kernel does ≤128 lane
+    rolls and ntaps masked MACs — one HBM pass total, vs the XLA conv
+    lowering that managed only ~10 Msps.
+    """
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * tile_rows, tile_rows + halo_rows), :], scratch, sem)
+    dma.start()
+    dma.wait()
+    h = halo_rows
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+    acc = jnp.zeros((tile_rows, LANES), jnp.float32)
+    for r in range(min(LANES, ntaps)):
+        rolled = pltpu.roll(scratch[:, :], r, 1) if r else scratch[:, :]
+        mask = lane >= r
+        for q in range((ntaps - r + LANES - 1) // LANES):
+            k = q * LANES + r
+            if k >= ntaps:
+                continue
+            # x[n−k] for output rows: same-row part (lane ≥ r) comes from
+            # row i−q; wrapped part (lane < r) from row i−q−1
+            same = rolled[h - q : h - q + tile_rows, :]
+            prev = rolled[h - q - 1 : h - q - 1 + tile_rows, :]
+            acc = acc + taps_ref[0, k] * jnp.where(mask, same, prev)
+    out_ref[:, :] = acc
+
+
+def fir_direct(x, taps, tile_rows: int = 256, interpret: bool = False):
+    """Direct-form FIR y[n] = Σ_k taps[k]·x[n+K−1−k] over a float32 stream
+    with K−1 history samples at the front (same convention as
+    dsp.fir_filter.fir_filter), via the single-pass Pallas kernel.
+
+    x: [K-1 + n] float32 (n a multiple of 128·tile_rows after padding by the
+    caller); returns [n] float32.
+    """
+    taps = jnp.asarray(taps, jnp.float32)
+    ntaps = int(taps.shape[-1])
+    n = x.shape[-1] - (ntaps - 1)
+    if n % (LANES * tile_rows):
+        raise ValueError(
+            f"frame length {n} must be a multiple of {LANES * tile_rows}")
+    rows = n // LANES
+    # halo rows rounded to the f32 sublane multiple (8) keeps every VMEM
+    # shape and slice aligned for Mosaic
+    halo_rows = -(-(-(-(ntaps - 1) // LANES) + 1) // 8) * 8
+    # row-align so output sample 0 sits at row halo_rows, lane 0:
+    # prepend zeros so total = (halo_rows*128 - (ntaps-1)) + len(x)
+    lead = halo_rows * LANES - (ntaps - 1)
+    xp = jnp.concatenate([jnp.zeros((lead,), jnp.float32), x])
+    xp = xp.reshape(rows + halo_rows, LANES)
+    # y[n] = Σ_k taps[k]·x_in[n+K−1−k] = Σ_k taps[k]·z[n−k] with z the
+    # history-aligned stream — the kernel's shift-k coefficient is taps[k]
+    taps_k = taps[None, :]
+    grid = rows // tile_rows
+    return pl.pallas_call(
+        partial(_fir_kernel, tile_rows=tile_rows, halo_rows=halo_rows,
+                ntaps=ntaps),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalar tap reads
+        ],
+        out_specs=pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows + halo_rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ntaps,
+            bytes_accessed=4 * (x.size + n),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, taps_k).reshape(n)
+
+
 def _pfb_kernel(y_hbm, hr_ref, mat_ref, out_ref, scratch, sem, *, tile, w):
     i = pl.program_id(0)
     dma = pltpu.make_async_copy(

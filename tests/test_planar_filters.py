@@ -44,3 +44,20 @@ def test_planar_td_xcorr_matches():
                                np.asarray(want.corr_vectors),
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(got.lag), np.asarray(want.lag))
+
+
+def test_planar_fir_pallas_streaming():
+    from clenabled_tpu.dsp import fir_filter as ff
+
+    taps = firdes.low_pass(1.0, 1e6, 100e3, 50e3)
+    n = 128 * 64
+    ic, ac = ff.make_fir_filter(taps)
+    ip, ap = ff.make_fir_filter_planar(taps, tile_rows=8, interpret=True)
+    sc, sp = ic(), ip()
+    for _ in range(2):
+        x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
+            np.complex64)
+        sc, yc = ac(sc, x)
+        sp, (yr, yi) = ap(sp, (x.real.copy(), x.imag.copy()))
+        np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
+                                   np.asarray(yc), rtol=1e-4, atol=1e-4)
