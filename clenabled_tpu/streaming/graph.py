@@ -11,6 +11,7 @@ import dataclasses
 from typing import Any, Callable, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from clenabled_tpu.streaming.block import Block
@@ -156,6 +157,9 @@ class Runner:
         self.frame_size = frame_size
         self.states = tuple(b.init_state() for b in self._order)
         self._msg_handlers: dict[str, list[Callable]] = {}
+        # observability: the reference's debug prints + benchmark timing
+        # loops (SURVEY §5 tracing) become per-runner counters
+        self.stats = {"steps": 0, "wall_s": 0.0, "samples": 0}
 
     def on_message(self, key: str, handler: Callable) -> None:
         """Register a host callback for messages named '<block>.<port>'."""
@@ -175,12 +179,24 @@ class Runner:
                     f"feed {i} has {np.shape(f)[-1]} samples, expected "
                     f"frame_size={self.frame_size}"
                 )
+        import time as _time
+
+        t0 = _time.perf_counter()
         states, tapped, messages = self._step(self.states, tuple(feeds))
         self.states = states
         for key, val in messages.items():
             for h in self._msg_handlers.get(key, ()):
                 h(val)
+        self.stats["steps"] += 1
+        self.stats["wall_s"] += _time.perf_counter() - t0
+        self.stats["samples"] += self.frame_size
         return tapped
+
+    def throughput_msps(self) -> float:
+        """Dispatch-side samples/s since creation (JAX is async, so this is
+        a lower bound unless the caller blocks on outputs)."""
+        w = self.stats["wall_s"]
+        return self.stats["samples"] / w / 1e6 if w else 0.0
 
     def run(self, feeds_iter, n_steps: int | None = None) -> list[dict]:
         """Drive from an iterator of feed tuples; collects tapped outputs.
@@ -195,3 +211,29 @@ class Runner:
 
     def reset(self) -> None:
         self.states = tuple(b.init_state() for b in self._order)
+
+    # ---- checkpoint / resume -------------------------------------------
+    # The reference has no checkpointing (SURVEY §5); its "state" hides in
+    # block members and device buffers.  Here the entire flowgraph state is
+    # one pytree, so streaming state (filter tails, loop phases, integration
+    # accumulators) checkpoints in one call and a restarted process resumes
+    # the stream sample-exactly.
+
+    def save_state(self, path: str) -> None:
+        import pickle
+
+        flat, treedef = jax.tree.flatten(self.states)
+        with open(path, "wb") as f:
+            pickle.dump({"leaves": [np.asarray(x) for x in flat],
+                         "treedef": treedef}, f)
+
+    def load_state(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        flat, treedef = jax.tree.flatten(self.states)
+        if treedef != data["treedef"]:
+            raise ValueError("checkpoint does not match this flowgraph")
+        self.states = jax.tree.unflatten(
+            data["treedef"], [jnp.asarray(x) for x in data["leaves"]])

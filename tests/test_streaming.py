@@ -164,3 +164,48 @@ def test_cycle_detection():
     with pytest.raises(ValueError):
         g.connect(b, a)
         g.compile()
+
+
+def test_checkpoint_resume(tmp_path):
+    """Runner state (filter tail + demod history) checkpoints and resumes
+    the stream sample-exactly."""
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal(3 * 1024) + 1j * rng.standard_normal(3 * 1024)
+         ).astype(np.complex64)
+
+    def build():
+        lpf = blocks.LowPassFilter(1, 1.0, 1e6, 100e3, 50e3, use_time=True)
+        qd = blocks.QuadratureDemod(1.0)
+        g = Flowgraph()
+        g.external_input(lpf)
+        g.connect(lpf, qd)
+        t = g.tap(qd, name="y")
+        return g.compile(frame_size=1024), t
+
+    r1, t1 = build()
+    o0 = np.asarray(r1.step(x[:1024])[t1])
+    ckpt = str(tmp_path / "state.pkl")
+    r1.save_state(ckpt)
+    o1 = np.asarray(r1.step(x[1024:2048])[t1])
+
+    r2, t2 = build()
+    r2.load_state(ckpt)
+    o1b = np.asarray(r2.step(x[1024:2048])[t2])
+    np.testing.assert_array_equal(o1, o1b)
+    assert r1.stats["steps"] == 2 and r1.throughput_msps() > 0
+
+
+def test_checkpoint_mismatch_rejected(tmp_path):
+    lpf = blocks.LowPassFilter(1, 1.0, 1e6, 100e3, 50e3, use_time=True)
+    g = Flowgraph()
+    g.external_input(lpf)
+    g.tap(lpf)
+    r = g.compile(frame_size=1024)
+    ckpt = str(tmp_path / "s.pkl")
+    r.save_state(ckpt)
+    other = Flowgraph()
+    src = blocks.SignalSource(1e6, 1, 1e3, 1.0, 1024)
+    other.connect(src, blocks.ComplexToMag())
+    r2 = other.compile()
+    with pytest.raises(ValueError):
+        r2.load_state(ckpt)

@@ -126,3 +126,18 @@ def test_fd_xcorr_peak_at_delay():
     out = np.asarray(xcorr.fd_xcorr(np.stack([fa, fb])))[0]
     # peak index (after fftshift) maps lag l to n/2 + l
     assert abs(int(out.argmax()) - (n // 2 + delay)) <= 1
+
+
+def test_td_xcorr_batched_windows():
+    n, shift, b = 1024, 64, 5
+    sigs = RNG.standard_normal((3, b, n)).astype(np.float32)
+    res = xcorr.td_xcorr_batched(sigs, shift)
+    assert res.corr_vectors.shape == (2, b, 2 * shift)
+    # each window matches the unbatched result
+    for wi in range(b):
+        single = xcorr.td_xcorr(sigs[:, wi], shift)
+        np.testing.assert_allclose(np.asarray(res.corr_vectors[:, wi]),
+                                   np.asarray(single.corr_vectors),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(res.lag[:, wi]),
+                                      np.asarray(single.lag))
