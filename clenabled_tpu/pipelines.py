@@ -110,19 +110,28 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
             from clenabled_tpu.dsp import pallas_kernels
             y, hrt = dsp_chan._pack_streams(comps, taps_rm_j, m, ntaps, nout)
             z = pallas_kernels.pfb_channelize_packed(y, hrt, a, m, tile=tile)
-            zs = z.reshape(nout, 2 * a, m)
-            spec = planar.PC(jnp.transpose(zs[:, :a], (1, 0, 2)),
-                             jnp.transpose(zs[:, a:], (1, 0, 2)))
+            zs = z.reshape(nout, 2 * a, m)                    # view, no copy
+            # spectra in [time, antenna, channel] — the natural layout for
+            # BOTH consumers below; no transposes anywhere downstream
+            spec = planar.PC(zs[:, :a, :], zs[:, a:, :])
         else:
             acc = dsp_chan._branch_sums_critical_batched(
                 comps, taps_rm_j, m, ntaps, nout)             # [2A, N/M, M]
-            spec = planar.ifft_unscaled(planar.PC(acc[:a], acc[a:]))
+            z2 = planar.ifft_unscaled(planar.PC(acc[:a], acc[a:]))
+            spec = planar.PC(jnp.transpose(z2.re, (1, 0, 2)),
+                             jnp.transpose(z2.im, (1, 0, 2)))
         new_hr = full.re[:, full.re.shape[-1] - (ntaps - 1):]
         new_hi = full.im[:, full.im.shape[-1] - (ntaps - 1):]
-        fd = dsp_xcorr_mod.fd_xcorr_planar(spec).mean(axis=1)  # [A-1, M]
-        z = planar.PC(jnp.transpose(spec.re, (1, 0, 2))[..., None],
-                      jnp.transpose(spec.im, (1, 0, 2))[..., None])
-        xmat = dsp_xengine.xengine_correlate_planar(z, npol=1)
+        # FD xcorr of each antenna vs antenna 0, averaged over time frames,
+        # directly on [T, A, M] (ref broadcasts over the pair axis)
+        ref = planar.PC(spec.re[:, :1, :], spec.im[:, :1, :])
+        sig = planar.PC(spec.re[:, 1:, :], spec.im[:, 1:, :])
+        prod = planar.mul_conj(ref, sig)                      # [T, A-1, M]
+        corr = planar.pabs(planar.ifft_unscaled(prod)).mean(axis=0)
+        fd = jnp.roll(corr, m // 2, axis=-1)                  # [A-1, M]
+        # X-Engine: spectra already [T, S, F]; pol axis is a view
+        xz = planar.PC(spec.re[..., None], spec.im[..., None])
+        xmat = dsp_xengine.xengine_correlate_planar(xz, npol=1)
         return fd, xmat.re, xmat.im, new_hr, new_hi
 
     x = jnp.zeros((a, n), jnp.float32)
