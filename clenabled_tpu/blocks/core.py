@@ -25,13 +25,14 @@ class SignalSource(Block):
 
     def __init__(self, samp_rate: float, waveform: int, freq: float,
                  amplitude: float, frame_size: int = 8192,
-                 dtype=jnp.complex64, name: str = "", **legacy):
+                 dtype=jnp.complex64, planar: bool = False, name: str = "",
+                 **legacy):
         strip_legacy_kwargs(legacy)
         self.name = name
         self.source_frame = frame_size
         self._params = dict(samp_rate=samp_rate, waveform=waveform,
                             amplitude=amplitude, frame_size=frame_size,
-                            dtype=dtype)
+                            dtype=dtype, planar=planar)
         self._frequency = freq
         self._build()
 
@@ -39,7 +40,7 @@ class SignalSource(Block):
         p = self._params
         self._init, self._gen = siggen.make_signal_source(
             p["samp_rate"], p["waveform"], self._frequency, p["amplitude"],
-            p["frame_size"], dtype=p["dtype"]
+            p["frame_size"], dtype=p["dtype"], planar=p["planar"]
         )
 
     def frequency(self) -> float:
@@ -82,12 +83,18 @@ class Fft(Block):
         self.n_outputs = num_streams
 
     def apply(self, state, inputs):
-        outs = tuple(
-            dsp_fft.fft_stream(x, self.fft_size, direction=self.direction,
-                               window=self.window, shift=self.shift)
-            for x in inputs
-        )
-        return state, outs, {}
+        from clenabled_tpu.dsp import planar
+
+        def one(x):
+            if isinstance(x, planar.PC):
+                return dsp_fft.fft_stream_planar(
+                    x, self.fft_size, direction=self.direction,
+                    window=self.window, shift=self.shift)
+            return dsp_fft.fft_stream(x, self.fft_size,
+                                      direction=self.direction,
+                                      window=self.window, shift=self.shift)
+
+        return state, tuple(one(x) for x in inputs), {}
 
 
 class MathOp(Block):
@@ -149,14 +156,14 @@ class MultiplyConst(Block):
         return jnp.float32(self._k) if not isinstance(self._k, complex) else jnp.complex64(self._k)
 
     def apply(self, state, inputs):
-        return state, (inputs[0] * state,), {}
+        return state, (ew.multiply_const(inputs[0], state),), {}
 
 
 class AddConst(MultiplyConst):
     """clMathConst add variant."""
 
     def apply(self, state, inputs):
-        return state, (inputs[0] + state,), {}
+        return state, (ew.add_const(inputs[0], state),), {}
 
 
 class _UnaryFn(Block):
@@ -193,16 +200,18 @@ class ComplexToMagPhase(Block):
 
 
 class MagPhaseToComplex(Block):
-    """(mag, phase) → c."""
+    """(mag, phase) → c (planar=True emits a planar.PC stream)."""
 
     n_inputs = 2
 
-    def __init__(self, name: str = "", **legacy):
+    def __init__(self, planar: bool = False, name: str = "", **legacy):
         strip_legacy_kwargs(legacy)
         self.name = name
+        self.planar = planar
 
     def apply(self, state, inputs):
-        return state, (ew.mag_phase_to_complex(*inputs),), {}
+        out = ew.mag_phase_to_complex(*inputs, planar_out=self.planar)
+        return state, (out,), {}
 
 
 class Log(Block):

@@ -47,11 +47,21 @@ class XCorrelate(Block):
         return jnp.int32(0)  # frame counter
 
     def apply(self, state, inputs):
-        sigs = jnp.stack([x[..., : self.signal_length] for x in inputs])
+        from clenabled_tpu.dsp import planar
+
+        if isinstance(inputs[0], planar.PC):
+            mags = [planar.pabs(planar.PC(x.re[..., : self.signal_length],
+                                          x.im[..., : self.signal_length]))
+                    for x in inputs]
+            sigs = jnp.stack(mags)
+            correlate = lambda s: dsp_xcorr.td_xcorr_planar(s, self.max_shift)
+        else:
+            sigs = jnp.stack([x[..., : self.signal_length] for x in inputs])
+            correlate = lambda s: dsp_xcorr.td_xcorr(s, self.max_shift)
         run = state % self.decim_frames == 0
 
         def compute(s):
-            r = dsp_xcorr.td_xcorr(s, self.max_shift)
+            r = correlate(s)
             return r.corr, r.lag, r.corr_vectors
 
         def skip(s):
@@ -84,8 +94,19 @@ class XCorrelateFFTVCF(Block):
         self.quantum = fft_size
 
     def apply(self, state, inputs):
-        v = jnp.stack(inputs).reshape(self.n_inputs, -1, self.fft_size)
-        out = dsp_xcorr.fd_xcorr(v, perform_fft_first=self.perform_fft_first)
+        from clenabled_tpu.dsp import planar
+
+        if isinstance(inputs[0], planar.PC):
+            v = planar.PC(
+                jnp.stack([x.re for x in inputs]).reshape(
+                    self.n_inputs, -1, self.fft_size),
+                jnp.stack([x.im for x in inputs]).reshape(
+                    self.n_inputs, -1, self.fft_size))
+            out = dsp_xcorr.fd_xcorr_planar(
+                v, perform_fft_first=self.perform_fft_first)
+        else:
+            v = jnp.stack(inputs).reshape(self.n_inputs, -1, self.fft_size)
+            out = dsp_xcorr.fd_xcorr(v, perform_fft_first=self.perform_fft_first)
         flat = tuple(out[i].reshape(-1) for i in range(self.n_outputs))
         return state, flat, {}
 
@@ -110,8 +131,8 @@ class XEngine(Block):
                  output_format: int = dsp_xengine.CLXCORR_TRIANGULAR_ORDER,
                  first_channel: int = 0, num_channels: int = 256,
                  integration: int = 1024, antenna_list=None,
-                 pipeline_integration: int = 0, name: str = "xengine",
-                 **legacy):
+                 pipeline_integration: int = 0, planar: bool = False,
+                 name: str = "xengine", **legacy):
         for k in ("output_file", "file_base", "rollover_size_mb",
                   "internal_synchronizer", "sync_timestamp", "object_name",
                   "starting_chan_center_freq", "channel_width",
@@ -131,26 +152,47 @@ class XEngine(Block):
         # (2 bytes/sample for IChar, 1 packed byte/sample for PackedXY)
         samples = integration * num_channels * self.npol
         self.quantum = samples * 2 if data_type == 5 else samples
+        self.planar = planar
         self._init, self._apply = dsp_xengine.make_xengine(
             num_inputs=num_inputs, num_channels=num_channels, npol=self.npol,
             integration_time=integration, output_format=output_format,
-            pipeline_integration=pipeline_integration,
+            pipeline_integration=pipeline_integration, planar=planar,
         )
 
     def init_state(self):
         return self._init()
 
     def _decode(self, stream):
-        """Per-antenna raw stream → [T, F, P] complex."""
+        """Per-antenna raw stream → [T, F, P] complex (or planar.PC)."""
+        from clenabled_tpu.dsp import planar
+
+        shp = (self.integration, self.num_channels, self.npol)
+        if self.planar:
+            if self.data_type == 5:
+                z = dsp_xengine.unpack_char_planar(stream)
+            elif self.data_type == 6:
+                z = dsp_xengine.unpack_packed_4bit_planar(stream)
+            elif isinstance(stream, planar.PC):
+                z = stream
+            else:
+                raise TypeError("planar XEngine expects PC or raw-byte feeds")
+            return planar.PC(z.re.reshape(shp), z.im.reshape(shp))
         if self.data_type == 5:  # DTYPE_BYTE / IChar
             z = dsp_xengine.unpack_char(stream)
         elif self.data_type == 6:  # DTYPE_PACKEDXY
             z = dsp_xengine.unpack_packed_4bit(stream)
         else:
             z = jnp.asarray(stream, jnp.complex64)
-        return z.reshape(self.integration, self.num_channels, self.npol)
+        return z.reshape(shp)
 
     def apply(self, state, inputs):
-        z = jnp.stack([self._decode(x) for x in inputs], axis=1)  # [T,S,F,P]
+        from clenabled_tpu.dsp import planar
+
+        decoded = [self._decode(x) for x in inputs]
+        if self.planar:
+            z = planar.PC(jnp.stack([d.re for d in decoded], axis=1),
+                          jnp.stack([d.im for d in decoded], axis=1))
+        else:
+            z = jnp.stack(decoded, axis=1)  # [T,S,F,P]
         state, (out, ready) = self._apply(state, z)
         return state, (), {"xcorr": {"matrix": out, "valid": ready}}

@@ -23,25 +23,32 @@ class Filter(Block):
     default frequency-domain)."""
 
     def __init__(self, decimation: int, taps, use_time: bool = False,
-                 name: str = "", **legacy):
+                 planar: bool = False, name: str = "", **legacy):
         strip_legacy_kwargs(legacy)
         self.name = name
         self.decimation = decimation
         self.rate = Fraction(1, decimation)
         self.use_time = use_time
+        self.planar = planar
         self._set(np.asarray(taps, np.float32))
 
     def _set(self, taps):
         self._taps = taps
         if self.use_time:
-            self._init, self._apply = dsp_fir.make_fir_filter(
-                taps, self.decimation, complex_input=True
-            )
+            if self.planar:
+                self._init, self._apply = dsp_fir.make_fir_filter_planar_xla(
+                    taps, self.decimation)
+            else:
+                self._init, self._apply = dsp_fir.make_fir_filter(
+                    taps, self.decimation, complex_input=True)
             self.quantum = self.decimation
         else:
-            self._init, self._apply, self._plan = dsp_ofa.make_fft_filter(
-                taps, self.decimation
-            )
+            if self.planar:
+                self._init, self._apply, self._plan = (
+                    dsp_ofa.make_fft_filter_planar(taps, self.decimation))
+            else:
+                self._init, self._apply, self._plan = dsp_ofa.make_fft_filter(
+                    taps, self.decimation)
             self.quantum = dsp_ofa.frame_quantum(self._plan)
 
     def taps(self):
@@ -67,25 +74,32 @@ class ComplexFilter(Filter):
     time-domain only in the reference; both modes here."""
 
     def __init__(self, decimation: int, taps, use_time: bool = True,
-                 name: str = "", **legacy):
+                 planar: bool = False, name: str = "", **legacy):
         strip_legacy_kwargs(legacy)
         self.name = name
         self.decimation = decimation
         self.rate = Fraction(1, decimation)
         self.use_time = use_time
+        self.planar = planar
         self._set(np.asarray(taps, np.complex64))
 
     def _set(self, taps):
         self._taps = taps
         if self.use_time:
-            self._init, self._apply = dsp_fir.make_fir_filter(
-                taps, self.decimation, complex_input=True
-            )
+            if self.planar:
+                self._init, self._apply = dsp_fir.make_fir_filter_planar_xla(
+                    taps, self.decimation)
+            else:
+                self._init, self._apply = dsp_fir.make_fir_filter(
+                    taps, self.decimation, complex_input=True)
             self.quantum = self.decimation
         else:
-            self._init, self._apply, self._plan = dsp_ofa.make_fft_filter(
-                taps, self.decimation
-            )
+            if self.planar:
+                self._init, self._apply, self._plan = (
+                    dsp_ofa.make_fft_filter_planar(taps, self.decimation))
+            else:
+                self._init, self._apply, self._plan = dsp_ofa.make_fft_filter(
+                    taps, self.decimation)
             self.quantum = dsp_ofa.frame_quantum(self._plan)
 
 
@@ -94,45 +108,53 @@ class ComplexFilter(Filter):
 
 def LowPassFilter(decimation, gain, samp_rate, cutoff_freq, transition_width,
                   window=firdes.WIN_HAMMING, beta=6.76, use_time=False,
-                  name="lowpass", **legacy):
+                  planar=False, name="lowpass", **legacy):
     taps = firdes.low_pass(gain, samp_rate, cutoff_freq, transition_width,
                            window, beta)
-    return Filter(decimation, taps, use_time=use_time, name=name, **legacy)
+    return Filter(decimation, taps, use_time=use_time, planar=planar,
+                  name=name, **legacy)
 
 
 def HighPassFilter(decimation, gain, samp_rate, cutoff_freq, transition_width,
                    window=firdes.WIN_HAMMING, beta=6.76, use_time=False,
-                   name="highpass", **legacy):
+                   planar=False, name="highpass", **legacy):
     taps = firdes.high_pass(gain, samp_rate, cutoff_freq, transition_width,
                             window, beta)
-    return Filter(decimation, taps, use_time=use_time, name=name, **legacy)
+    return Filter(decimation, taps, use_time=use_time, planar=planar,
+                  name=name, **legacy)
 
 
 def BandPassFilter(decimation, gain, samp_rate, low_cutoff, high_cutoff,
                    transition_width, window=firdes.WIN_HAMMING, beta=6.76,
-                   use_time=False, name="bandpass", **legacy):
+                   use_time=False, planar=False, name="bandpass", **legacy):
     taps = firdes.band_pass(gain, samp_rate, low_cutoff, high_cutoff,
                             transition_width, window, beta)
-    return Filter(decimation, taps, use_time=use_time, name=name, **legacy)
+    return Filter(decimation, taps, use_time=use_time, planar=planar,
+                  name=name, **legacy)
 
 
 def BandRejectFilter(decimation, gain, samp_rate, low_cutoff, high_cutoff,
                      transition_width, window=firdes.WIN_HAMMING, beta=6.76,
-                     use_time=False, name="bandreject", **legacy):
+                     use_time=False, planar=False, name="bandreject", **legacy):
     taps = firdes.band_reject(gain, samp_rate, low_cutoff, high_cutoff,
                               transition_width, window, beta)
-    return Filter(decimation, taps, use_time=use_time, name=name, **legacy)
+    return Filter(decimation, taps, use_time=use_time, planar=planar,
+                  name=name, **legacy)
 
 
 def RootRaisedCosineFilter(decimation, gain, samp_rate, symbol_rate, alpha,
-                           ntaps, use_time=False, name="rrc", **legacy):
+                           ntaps, use_time=False, planar=False, name="rrc",
+                           **legacy):
     taps = firdes.root_raised_cosine(gain, samp_rate, symbol_rate, alpha, ntaps)
-    return Filter(decimation, taps, use_time=use_time, name=name, **legacy)
+    return Filter(decimation, taps, use_time=use_time, planar=planar,
+                  name=name, **legacy)
 
 
-def FIRTapFilter(decimation, taps, use_time=False, name="fir_taps", **legacy):
+def FIRTapFilter(decimation, taps, use_time=False, planar=False,
+                 name="fir_taps", **legacy):
     """clFIRTapFilter: general user-supplied taps."""
-    return Filter(decimation, taps, use_time=use_time, name=name, **legacy)
+    return Filter(decimation, taps, use_time=use_time, planar=planar,
+                  name=name, **legacy)
 
 
 class PolyphaseChannelizer(Block):
@@ -143,7 +165,8 @@ class PolyphaseChannelizer(Block):
     [sample-group][ch_map] output order (out rate = len(ch_map)/R)."""
 
     def __init__(self, taps, buf_items: int, num_channels: int,
-                 ninputs_per_iter: int, ch_map, name: str = "", **legacy):
+                 ninputs_per_iter: int, ch_map, planar: bool = False,
+                 name: str = "", **legacy):
         strip_legacy_kwargs(legacy)
         if buf_items % num_channels:
             raise ValueError("buf_items must be a multiple of num_channels")
@@ -155,13 +178,20 @@ class PolyphaseChannelizer(Block):
         self.ch_map = list(ch_map)
         self.quantum = buf_items
         self.rate = Fraction(len(self.ch_map), ninputs_per_iter)
+        self.planar = planar
         self._init, self._apply = dsp_chan.make_channelizer(
-            taps, num_channels, ninputs_per_iter, self.ch_map
+            taps, num_channels, ninputs_per_iter, self.ch_map, planar=planar
         )
 
     def init_state(self):
         return self._init()
 
     def apply(self, state, inputs):
+        from clenabled_tpu.dsp import planar
+
         state, out = self._apply(state, inputs[0])  # [n, C]
-        return state, (out.reshape(-1),), {}
+        if isinstance(out, planar.PC):
+            flat = planar.PC(out.re.reshape(-1), out.im.reshape(-1))
+        else:
+            flat = out.reshape(-1)
+        return state, (flat,), {}

@@ -213,13 +213,37 @@ def polyphase_channelize(x, taps, num_channels: int, ninputs_per_iter: int,
                        ninputs_per_iter=ninputs_per_iter, ntaps=ntaps)
 
 
-def make_channelizer(taps, num_channels: int, ninputs_per_iter: int, ch_map):
+def make_channelizer(taps, num_channels: int, ninputs_per_iter: int, ch_map,
+                     planar: bool = False):
     """Streaming form: (init_state, apply); state = T-1 history samples.
 
     apply(history, frame[buf_items]) -> (history', out[buf_items/R, C]).
+    With ``planar=True`` frames/outputs are planar.PC and the state is an
+    (re, im) pair — the complex-free TPU path.
     """
     taps_rm, ntaps = _pfb_constants(taps, num_channels, ninputs_per_iter)
     ch_map_arr = jnp.asarray(ch_map, jnp.int32)
+
+    if planar:
+        from clenabled_tpu.dsp import planar as pl_mod
+
+        def init_state(frame_size: int | None = None):
+            del frame_size
+            z = jnp.zeros((ntaps - 1,), jnp.float32)
+            return (z, z)
+
+        @jax.jit
+        def apply(history, frame):
+            fr = jnp.concatenate([history[0], frame.re], axis=-1)
+            fi = jnp.concatenate([history[1], frame.im], axis=-1)
+            out = _channelize_planar(
+                pl_mod.PC(fr, fi), taps_rm, ch_map_arr,
+                num_channels=num_channels,
+                ninputs_per_iter=ninputs_per_iter, ntaps=ntaps)
+            k = fr.shape[-1] - (ntaps - 1)
+            return (fr[k:], fi[k:]), out
+
+        return init_state, apply
 
     def init_state(frame_size: int | None = None):
         del frame_size

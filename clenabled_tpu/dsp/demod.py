@@ -42,6 +42,20 @@ def quadrature_demod(x, gain: float, last_sample=None):
     return y, x[..., -1:]
 
 
+def quadrature_demod_planar(x, gain: float, last_sample=None):
+    """Planar quadrature demod: x is a planar.PC frame; identical math
+    (gain·atan2 of x[i]·conj(x[i-1])), complex-free for TPU."""
+    from clenabled_tpu.dsp import planar
+
+    if last_sample is None:
+        last_sample = planar.PC(x.re[..., :1], x.im[..., :1])
+    pr = jnp.concatenate([last_sample.re, x.re[..., :-1]], axis=-1)
+    pi = jnp.concatenate([last_sample.im, x.im[..., :-1]], axis=-1)
+    prod = planar.mul_conj(x, planar.PC(pr, pi))
+    y = (jnp.float32(gain) * jnp.arctan2(prod.im, prod.re)).astype(jnp.float32)
+    return y, planar.PC(x.re[..., -1:], x.im[..., -1:])
+
+
 class CostasState(NamedTuple):
     """phase/freq/error — the reference's persistent device buffers."""
     phase: jax.Array
@@ -63,6 +77,54 @@ def costas_gains(loop_bw: float) -> tuple[float, float]:
     alpha = (4.0 * damping * loop_bw) / denom
     beta = (4.0 * loop_bw * loop_bw) / denom
     return alpha, beta
+
+
+def make_costas_loop_planar(loop_bw: float, order: int,
+                            max_freq: float = 1.0, min_freq: float = -1.0):
+    """Planar Costas loop: frames and outputs are planar.PC; the scan body
+    runs entirely in float32 (sin/cos NCO on real parts) — the TPU path."""
+    from clenabled_tpu.dsp import planar
+
+    if order not in (2, 4):
+        raise ValueError("costas loop order must be 2 or 4")
+    alpha, beta = costas_gains(loop_bw)
+    alpha = jnp.float32(alpha)
+    beta = jnp.float32(beta)
+    f_max = jnp.float32(max_freq)
+    f_min = jnp.float32(min_freq)
+
+    def step(carry, sample):
+        phase, freq, _ = carry
+        s_r, s_i = sample
+        n_r = jnp.cos(-phase)
+        n_i = jnp.sin(-phase)
+        o_r = s_r * n_r - s_i * n_i
+        o_i = s_r * n_i + s_i * n_r
+        if order == 2:
+            error = o_r * o_i
+        else:
+            error = (jnp.where(o_r > 0, 1.0, -1.0) * o_i
+                     - jnp.where(o_i > 0, 1.0, -1.0) * o_r)
+        error = 0.5 * (jnp.abs(error + 1.0) - jnp.abs(error - 1.0))
+        freq = freq + beta * error
+        phase = phase + freq + alpha * error
+        phase = jnp.where(
+            (phase > TWO_PI) | (phase < -TWO_PI),
+            (phase / TWO_PI - jnp.trunc(phase / TWO_PI)) * TWO_PI,
+            phase,
+        )
+        freq = jnp.clip(freq, f_min, f_max)
+        return (phase, freq, error), (o_r, o_i)
+
+    @jax.jit
+    def run(state: CostasState, frame):
+        (phase, freq, error), (o_r, o_i) = jax.lax.scan(
+            step, (state.phase, state.freq, state.error), (frame.re, frame.im)
+        )
+        return (CostasState(phase=phase, freq=freq, error=error),
+                planar.PC(o_r, o_i))
+
+    return run
 
 
 def make_costas_loop(loop_bw: float, order: int,

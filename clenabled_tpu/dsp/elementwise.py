@@ -25,9 +25,34 @@ MATHOP_EMPTY = 255        # no-op kernels used for baseline timing
 MATHOP_EMPTY_W_COPY = 254
 
 
+def _is_pc(x) -> bool:
+    """Planar-complex (dsp.planar.PC) value?  Every elementwise op also
+    accepts planar pairs so the whole block layer runs complex-free on
+    TPU backends without complex64 support."""
+    from clenabled_tpu.dsp import planar
+
+    return isinstance(x, planar.PC)
+
+
 def math_op(op: int, a, b=None):
     """Two-input (or one-input for conjugate/log) math op by code
     (lib/clMathOp_impl.cc:104-238 kernel codegen)."""
+    if _is_pc(a):
+        from clenabled_tpu.dsp import planar
+
+        if op == MATHOP_MULTIPLY:
+            return planar.mul(a, b)
+        if op == MATHOP_ADD:
+            return planar.add(a, b)
+        if op == MATHOP_SUBTRACT:
+            return planar.sub(a, b)
+        if op == MATHOP_COMPLEX_CONJUGATE:
+            return planar.conj(a)
+        if op == MATHOP_MULTIPLY_CONJUGATE:
+            return planar.mul_conj(a, b)
+        if op in (MATHOP_EMPTY, MATHOP_EMPTY_W_COPY):
+            return a
+        raise ValueError(f"op {op} undefined for planar input")
     if op == MATHOP_MULTIPLY:
         return a * b
     if op == MATHOP_ADD:
@@ -52,24 +77,24 @@ def math_op(op: int, a, b=None):
 
 
 def multiply(a, b):
-    return a * b
+    return math_op(MATHOP_MULTIPLY, a, b)
 
 
 def add(a, b):
-    return a + b
+    return math_op(MATHOP_ADD, a, b)
 
 
 def subtract(a, b):
-    return a - b
+    return math_op(MATHOP_SUBTRACT, a, b)
 
 
 def multiply_conjugate(a, b):
     """a * conj(b) (clMultiplyConjugate)."""
-    return a * jnp.conj(b)
+    return math_op(MATHOP_MULTIPLY_CONJUGATE, a, b)
 
 
 def complex_conjugate(a):
-    return jnp.conj(a)
+    return math_op(MATHOP_COMPLEX_CONJUGATE, a)
 
 
 def multiply_const(a, k):
@@ -77,32 +102,52 @@ def multiply_const(a, k):
     components by a real float scalar (lib/clMathConst_impl.cc:100-190), so
     a float ``k`` against a complex stream scales it — same here by
     broadcasting."""
+    if _is_pc(a):
+        from clenabled_tpu.dsp import planar
+
+        return planar.scale(a, k)
     return a * k
 
 
 def add_const(a, k):
+    if _is_pc(a):
+        from clenabled_tpu.dsp import planar
+
+        kr = getattr(k, "real", k)
+        ki = getattr(k, "imag", 0.0)
+        return planar.PC(a.re + kr, a.im + ki)
     return a + k
 
 
 def complex_to_mag(a):
     """sqrt(re²+im²) (lib/clComplexToMag_impl.cc:132-148)."""
+    if _is_pc(a):
+        from clenabled_tpu.dsp import planar
+
+        return planar.pabs(a)
     return jnp.abs(a).astype(jnp.float32)
 
 
 def complex_to_arg(a):
     """atan2(im, re) (lib/clComplexToArg_impl.cc:132-151)."""
+    if _is_pc(a):
+        return jnp.arctan2(a.im, a.re).astype(jnp.float32)
     return jnp.angle(a).astype(jnp.float32)
 
 
 def complex_to_mag_phase(a):
     """(mag, phase) in one pass (lib/clComplexToMagPhase_impl.cc:143-165)."""
-    return jnp.abs(a).astype(jnp.float32), jnp.angle(a).astype(jnp.float32)
+    return complex_to_mag(a), complex_to_arg(a)
 
 
-def mag_phase_to_complex(mag, phase):
+def mag_phase_to_complex(mag, phase, planar_out: bool = False):
     """mag·(cos φ + j sin φ) (lib/clMagPhaseToComplex_impl.cc:162-192)."""
     mag = jnp.asarray(mag, jnp.float32)
     phase = jnp.asarray(phase, jnp.float32)
+    if planar_out:
+        from clenabled_tpu.dsp import planar
+
+        return planar.PC(mag * jnp.cos(phase), mag * jnp.sin(phase))
     return (mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)).astype(jnp.complex64)
 
 

@@ -78,6 +78,43 @@ def _fft_real_forward(x, window):
     return y.astype(jnp.complex64)
 
 
+def fft_planar(x, direction: int = FORWARD, window=None, shift: bool = False):
+    """Planar-complex fft() with identical clFFT semantics (complex-free
+    TPU path; x is a planar.PC of [..., fft_size])."""
+    from clenabled_tpu.dsp import planar
+
+    n = x.re.shape[-1]
+    window = _check_window(window, n)
+    if direction == FORWARD:
+        if window is not None:
+            x = planar.PC(x.re * window, x.im * window)
+        y = planar.fft(x)
+        if shift:
+            y = planar.fftshift(y)
+        return y
+    if shift:
+        x = planar.PC(
+            jnp.concatenate([x.re[..., n // 2:], x.re[..., : n // 2]], -1),
+            jnp.concatenate([x.im[..., n // 2:], x.im[..., : n // 2]], -1))
+    if window is not None:
+        x = planar.PC(x.re * window, x.im * window)
+    return planar.ifft_unscaled(x)
+
+
+def fft_stream_planar(x, fft_size: int, direction: int = FORWARD,
+                      window=None, shift: bool = False):
+    """Planar fft_stream: PC of 1-D streams chopped into fft_size vectors."""
+    from clenabled_tpu.dsp import planar
+
+    if x.re.shape[-1] % fft_size:
+        raise ValueError("stream length must be a multiple of fft_size")
+    shp = x.re.shape[:-1] + (-1, fft_size)
+    out = fft_planar(planar.PC(x.re.reshape(shp), x.im.reshape(shp)),
+                     direction=direction, window=window, shift=shift)
+    flat = x.re.shape[:-1] + (-1,)
+    return planar.PC(out.re.reshape(flat), out.im.reshape(flat))
+
+
 def fft(x, direction: int = FORWARD, window=None, shift: bool = False):
     """Transform batched vectors with the reference block's semantics.
 

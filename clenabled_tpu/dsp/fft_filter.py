@@ -116,26 +116,29 @@ def _ofa_filter_planar(xr, xi, tail_r, tail_i, taps_r, taps_i, *, nsamples,
 
 def make_fft_filter_planar(taps, decimation: int = 1):
     """Planar streaming OFA filter: (init_state, apply, plan) with
-    apply((tail_r, tail_i), (xr, xi)) → (state, (yr, yi))."""
+    apply((tail_r, tail_i), frame: planar.PC) → (state, planar.PC)."""
+    from clenabled_tpu.dsp import planar
+
     plan = plan_fft_filter(taps, decimation)
     quantum = frame_quantum(plan)
     taps_r = jnp.asarray(plan.xformed_taps.real.copy(), jnp.float32)
     taps_i = jnp.asarray(plan.xformed_taps.imag.copy(), jnp.float32)
 
-    def init_state():
+    def init_state(frame_size: int | None = None):
+        del frame_size
         z = jnp.zeros((plan.ntaps - 1,), jnp.float32)
         return (z, z)
 
     def apply(state, frame):
-        xr, xi = frame
-        if xr.shape[-1] % quantum:
+        if frame.re.shape[-1] % quantum:
             raise ValueError(
-                f"frame length {xr.shape[-1]} must be a multiple of {quantum}")
+                f"frame length {frame.re.shape[-1]} must be a multiple of "
+                f"{quantum}")
         yr, yi, tr, ti = _ofa_filter_planar(
-            xr, xi, state[0], state[1], taps_r, taps_i,
+            frame.re, frame.im, state[0], state[1], taps_r, taps_i,
             nsamples=plan.nsamples, fftsize=plan.fftsize,
             ntaps=plan.ntaps, decimation=plan.decimation)
-        return (tr, ti), (yr, yi)
+        return (tr, ti), planar.PC(yr, yi)
 
     return init_state, apply, plan
 

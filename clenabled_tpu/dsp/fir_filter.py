@@ -84,16 +84,68 @@ def fir_filter(x, taps, decimation: int = 1):
     return y
 
 
+def fir_filter_planar(x, taps, decimation: int = 1):
+    """Planar fir_filter: x is a planar.PC with history at the front; taps
+    real or complex (numpy).  Portable XLA path (the Pallas kernel in
+    make_fir_filter_planar is the TPU fast path)."""
+    import numpy as np
+
+    from clenabled_tpu.dsp import planar
+
+    taps = np.asarray(taps)
+    n = x.re.shape[-1] - (taps.shape[-1] - 1)
+    if n % decimation:
+        raise ValueError(f"frame length {n} not a multiple of decimation")
+    if np.iscomplexobj(taps):
+        tr = jnp.asarray(taps.real.copy(), jnp.float32)
+        ti = jnp.asarray(taps.imag.copy(), jnp.float32)
+        yr = _conv_valid_real(x.re, tr) - _conv_valid_real(x.im, ti)
+        yi = _conv_valid_real(x.re, ti) + _conv_valid_real(x.im, tr)
+    else:
+        t = jnp.asarray(taps, jnp.float32)
+        yr = _conv_valid_real(x.re, t)
+        yi = _conv_valid_real(x.im, t)
+    if decimation > 1:
+        yr, yi = yr[::decimation], yi[::decimation]
+    return planar.PC(yr, yi)
+
+
+def make_fir_filter_planar_xla(taps, decimation: int = 1):
+    """Streaming planar FIR via XLA conv (portable; see
+    make_fir_filter_planar for the Pallas-kernel variant)."""
+    import numpy as np
+
+    from clenabled_tpu.dsp import planar
+
+    taps_np = np.asarray(taps)
+    ntaps = int(taps_np.shape[-1])
+
+    def init_state(frame_size: int | None = None):
+        del frame_size
+        z = jnp.zeros((ntaps - 1,), jnp.float32)
+        return (z, z)
+
+    @jax.jit
+    def apply(state, frame):
+        fr = jnp.concatenate([state[0], frame.re])
+        fi = jnp.concatenate([state[1], frame.im])
+        y = fir_filter_planar(planar.PC(fr, fi), taps_np, decimation)
+        return (fr[fr.shape[-1] - (ntaps - 1):],
+                fi[fi.shape[-1] - (ntaps - 1):]), y
+
+    return init_state, apply
+
+
 def make_fir_filter_planar(taps, decimation: int = 1, tile_rows: int = 256,
                            interpret: bool = False):
     """Planar/TPU streaming direct FIR using the single-pass Pallas kernel
     (dsp.pallas_kernels.fir_direct — ~150× the XLA conv lowering on TPU).
 
     Real taps only (complex taps: two planar FIRs or the OFA path).
-    apply((hist_r, hist_i), (xr, xi)) -> (state, (yr, yi)); frame length
-    must be a multiple of 128·tile_rows and of ``decimation``.
+    apply((hist_r, hist_i), frame: planar.PC) -> (state, planar.PC); frame
+    length must be a multiple of 128·tile_rows and of ``decimation``.
     """
-    from clenabled_tpu.dsp import pallas_kernels
+    from clenabled_tpu.dsp import pallas_kernels, planar
 
     taps_np = jnp.asarray(taps, jnp.float32)
     ntaps = int(taps_np.shape[-1])
@@ -105,7 +157,7 @@ def make_fir_filter_planar(taps, decimation: int = 1, tile_rows: int = 256,
 
     @jax.jit
     def apply(state, frame):
-        xr, xi = frame
+        xr, xi = frame.re, frame.im
         hr, hi = state
         fr = jnp.concatenate([hr, xr])
         fi = jnp.concatenate([hi, xi])
@@ -117,7 +169,7 @@ def make_fir_filter_planar(taps, decimation: int = 1, tile_rows: int = 256,
             yr, yi = yr[::decimation], yi[::decimation]
         new_hr = fr[fr.shape[-1] - (ntaps - 1):]
         new_hi = fi[fi.shape[-1] - (ntaps - 1):]
-        return (new_hr, new_hi), (yr, yi)
+        return (new_hr, new_hi), planar.PC(yr, yi)
 
     return init_state, apply
 

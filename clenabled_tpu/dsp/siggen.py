@@ -35,11 +35,13 @@ class SigGenState(NamedTuple):
 
 def make_signal_source(sampling_freq: float, waveform: int, frequency: float,
                        amplitude: float, frame_size: int,
-                       dtype=jnp.complex64):
+                       dtype=jnp.complex64, planar: bool = False):
     """Build (init_state, generate) for a fixed-shape frame generator.
 
     generate(state) -> (state', frame) where frame is [frame_size] of
     ``dtype`` (complex64 → cos + j·sin; float32/int32 → selected waveform).
+    With ``planar=True`` the complex frame is a planar.PC(cos, sin) pair —
+    the complex-free TPU form.
     """
     angle_rate = TWO_PI * frequency / sampling_freq
     # per-index ramp, wrapped in fp64 host-side, then cast
@@ -54,7 +56,11 @@ def make_signal_source(sampling_freq: float, waveform: int, frequency: float,
     @jax.jit
     def generate(state: SigGenState):
         angles = state.phase + ramp
-        if dtype == jnp.complex64:
+        if planar:
+            from clenabled_tpu.dsp import planar as pl_mod
+
+            frame = pl_mod.PC(ampl * jnp.cos(angles), ampl * jnp.sin(angles))
+        elif dtype == jnp.complex64:
             frame = (ampl * jnp.cos(angles) + 1j * (ampl * jnp.sin(angles))
                      ).astype(jnp.complex64)
         else:

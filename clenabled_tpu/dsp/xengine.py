@@ -61,6 +61,25 @@ _TWOS_LUT = np.array([0, 1, 2, 3, 4, 5, 6, 7, 0, -7, -6, -5, -4, -3, -2, -1],
                      dtype=np.float32)
 
 
+def unpack_char_planar(raw):
+    """Interleaved signed-byte I/Q → planar.PC · (1/127) (complex-free)."""
+    from clenabled_tpu.dsp import planar
+
+    f = jnp.asarray(raw, jnp.int8).astype(jnp.float32) * jnp.float32(1.0 / 127.0)
+    pairs = f.reshape(f.shape[:-1] + (-1, 2))
+    return planar.PC(pairs[..., 0], pairs[..., 1])
+
+
+def unpack_packed_4bit_planar(raw):
+    """Packed 4-bit two's-complement I/Q → planar.PC · (1/7)."""
+    from clenabled_tpu.dsp import planar
+
+    b = jnp.asarray(raw, jnp.uint8).astype(jnp.int32)
+    lut = jnp.asarray(_TWOS_LUT)
+    return planar.PC(lut[b >> 4] * jnp.float32(1.0 / 7.0),
+                     lut[b & 0xF] * jnp.float32(1.0 / 7.0))
+
+
 def unpack_packed_4bit(raw):
     """Packed 4-bit two's-complement I/Q nibbles (high=I, low=Q) → complex64
     · (1/7).  One byte yields one complex sample; the reference handles the
@@ -162,7 +181,8 @@ class XEngineState(NamedTuple):
 def make_xengine(num_inputs: int, num_channels: int, npol: int,
                  integration_time: int,
                  output_format: int = CLXCORR_TRIANGULAR_ORDER,
-                 pipeline_integration: int = 0):
+                 pipeline_integration: int = 0,
+                 planar: bool = False):
     """Streaming X-Engine: (init_state, apply).
 
     apply(state, frames) with frames [integration_time, S, F, P] returns
@@ -180,6 +200,38 @@ def make_xengine(num_inputs: int, num_channels: int, npol: int,
     else:
         out_shape = (num_channels, num_inputs * npol, num_inputs * npol)
     pipe = max(1, pipeline_integration)
+    expected = (integration_time, num_inputs, num_channels, npol)
+
+    if planar:
+        from clenabled_tpu.dsp import planar as pl_mod
+
+        def init_state() -> XEngineState:
+            return XEngineState(
+                accum=pl_mod.zeros(out_shape),
+                count=jnp.int32(0),
+            )
+
+        @jax.jit
+        def apply(state: XEngineState, frames):
+            if frames.re.shape != expected:
+                raise ValueError(
+                    f"frames shape {frames.re.shape} != {expected}")
+            corr = xengine_correlate_planar(frames, npol=npol,
+                                            output_format=output_format)
+            accum = pl_mod.add(state.accum, corr)
+            count = state.count + 1
+            ready = count >= pipe
+            zero = pl_mod.zeros(out_shape)
+            out = pl_mod.PC(jnp.where(ready, accum.re, zero.re),
+                            jnp.where(ready, accum.im, zero.im))
+            new_state = XEngineState(
+                accum=pl_mod.PC(jnp.where(ready, zero.re, accum.re),
+                                jnp.where(ready, zero.im, accum.im)),
+                count=jnp.where(ready, jnp.int32(0), count),
+            )
+            return new_state, (out, ready)
+
+        return init_state, apply
 
     def init_state() -> XEngineState:
         return XEngineState(
@@ -189,10 +241,9 @@ def make_xengine(num_inputs: int, num_channels: int, npol: int,
 
     @jax.jit
     def apply(state: XEngineState, frames):
-        if frames.shape != (integration_time, num_inputs, num_channels, npol):
+        if frames.shape != expected:
             raise ValueError(
-                f"frames shape {frames.shape} != "
-                f"{(integration_time, num_inputs, num_channels, npol)}"
+                f"frames shape {frames.shape} != {expected}"
             )
         corr = xengine_correlate(frames, npol=npol, output_format=output_format)
         accum = state.accum + corr

@@ -174,9 +174,10 @@ class Runner:
                 f"expected {len(self._graph._external)} feeds, got {len(feeds)}"
             )
         for i, f in enumerate(feeds):
-            if np.shape(f)[-1] != self.frame_size:
+            arr = f.re if hasattr(f, "re") and hasattr(f, "im") else f
+            if np.shape(arr)[-1] != self.frame_size:
                 raise ValueError(
-                    f"feed {i} has {np.shape(f)[-1]} samples, expected "
+                    f"feed {i} has {np.shape(arr)[-1]} samples, expected "
                     f"frame_size={self.frame_size}"
                 )
         import time as _time

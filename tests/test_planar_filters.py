@@ -1,5 +1,7 @@
 """Planar OFA filter and planar TD xcorr parity vs the complex paths."""
 
+from clenabled_tpu.dsp import planar
+
 import numpy as np
 
 from clenabled_tpu.dsp import fft_filter, firdes, xcorr
@@ -17,7 +19,8 @@ def test_planar_ofa_matches_complex():
         x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
             np.complex64)
         sc, yc = ac(sc, x)
-        sp, (yr, yi) = ap(sp, (x.real.copy(), x.imag.copy()))
+        sp, y = ap(sp, planar.from_complex(x))
+        yr, yi = y.re, y.im
         np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
                                    np.asarray(yc), rtol=2e-3, atol=2e-3)
 
@@ -30,7 +33,8 @@ def test_planar_ofa_decimation():
     x = (RNG.standard_normal(2 * q) + 1j * RNG.standard_normal(2 * q)).astype(
         np.complex64)
     _, yc = ac(ic(), x)
-    _, (yr, yi) = ap(ip(), (x.real.copy(), x.imag.copy()))
+    _, y = ap(ip(), planar.from_complex(x))
+    yr, yi = y.re, y.im
     np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
                                np.asarray(yc), rtol=2e-3, atol=2e-3)
 
@@ -58,6 +62,7 @@ def test_planar_fir_pallas_streaming():
         x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
             np.complex64)
         sc, yc = ac(sc, x)
-        sp, (yr, yi) = ap(sp, (x.real.copy(), x.imag.copy()))
+        sp, y = ap(sp, planar.from_complex(x))
+        yr, yi = y.re, y.im
         np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
                                    np.asarray(yc), rtol=1e-4, atol=1e-4)
