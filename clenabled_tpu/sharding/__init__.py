@@ -32,3 +32,7 @@ from clenabled_tpu.sharding.xengine_sharded import (  # noqa: F401
     sharded_xengine,
     make_sharded_xengine,
 )
+from clenabled_tpu.sharding.planar_halo import (  # noqa: F401
+    make_sharded_fft_filter_planar,
+    sharded_xengine_planar,
+)

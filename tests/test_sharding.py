@@ -127,3 +127,35 @@ def test_sharded_xengine_validates_divisibility():
     mesh = make_mesh()
     with pytest.raises(ValueError):
         sharded_xengine(cplx(4, 6, 16, 2), mesh)  # 6 stations !% 8
+
+
+def test_sharded_planar_ofa_matches_sequential():
+    from clenabled_tpu.dsp import planar
+    from clenabled_tpu.sharding import make_sharded_fft_filter_planar
+
+    mesh = make_mesh()
+    taps = firdes.root_raised_cosine(1.0, 10e6, 1e6, 0.22, 241)
+    init_s, apply_s = make_sharded_fft_filter_planar(taps, mesh)
+    init_q, apply_q, plan = fft_filter.make_fft_filter(taps)
+    n = 8 * plan.nsamples * 2
+    state_s, state_q = init_s(), init_q()
+    for i in range(2):
+        x = cplx(n)
+        state_s, ys = apply_s(state_s, planar.from_complex(x))
+        state_q, yq = apply_q(state_q, x)
+        got = np.asarray(ys.re) + 1j * np.asarray(ys.im)
+        np.testing.assert_allclose(got, np.asarray(yq), rtol=1e-3, atol=1e-3,
+                                   err_msg=f"frame {i}")
+
+
+def test_sharded_planar_xengine_matches():
+    from clenabled_tpu.dsp import planar
+    from clenabled_tpu.sharding import sharded_xengine_planar
+
+    mesh = make_mesh()
+    t, s, f, p = 8, 8, 16, 2
+    z = cplx(t, s, f, p)
+    got_pc = sharded_xengine_planar(planar.from_complex(z), mesh, npol=p)
+    got = np.asarray(got_pc.re) + 1j * np.asarray(got_pc.im)
+    want = np.asarray(xengine.xengine_correlate(z, npol=p))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
