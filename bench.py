@@ -23,13 +23,14 @@ NORTH_STAR_MSPS = 100.0
 
 def main() -> None:
     from clenabled_tpu.pipelines import (FxPipelineConfig,
-                                         make_fx_pipeline_planar)
+                                         make_fx_pipeline_fused)
 
-    # planar (re,im float32) pipeline — the TPU execution path; identical
-    # math to the complex64 pipeline (see tests/test_planar_pipeline.py)
+    # fully fused planar pipeline: ONE Pallas kernel does PFB -> DFT ->
+    # FD xcorr + X-Engine accumulation (identical math to the complex64
+    # pipeline — tests/test_planar_pipeline.py, interpret-mode kernel tests)
     cfg = FxPipelineConfig(num_antennas=4, num_channels=16,
-                           samples_per_step=1 << 21)
-    fn, (xr, xi, hr, hi) = make_fx_pipeline_planar(cfg)
+                           samples_per_step=1 << 23)
+    fn, (xr, xi, hr, hi) = make_fx_pipeline_fused(cfg)
 
     rng = np.random.default_rng(0)
     xr = jax.device_put(rng.standard_normal(xr.shape).astype(np.float32))

@@ -148,6 +148,315 @@ def fir_direct(x, taps, tile_rows: int = 256, interpret: bool = False):
     )(xp, taps_k).reshape(n)
 
 
+def _fx_kernel(y_hbm, hr_ref, mat_ref, fr_ref, fi_ref, fd_out, xe_out,
+               scratch, fd_acc, xe_acc, sem, *, tile, w, a, m, baselines):
+    """Whole-flagship fusion: PFB shifted MACs → block-matrix inverse DFT →
+    FD cross-correlation accumulation AND X-Engine Gram accumulation, all
+    from one VMEM residency of each tile.  The channelized spectra are
+    never written to HBM — the only outputs are the tiny accumulators."""
+    i = pl.program_id(0)
+    num = pl.num_programs(0)
+    dma = pltpu.make_async_copy(
+        y_hbm.at[pl.ds(i * tile, tile + w - 1), :], scratch, sem)
+    dma.start()
+    dma.wait()
+    acc = hr_ref[0, :] * scratch[0:tile, :]
+    for wp in range(1, w):
+        acc = acc + hr_ref[wp, :] * scratch[wp : wp + tile, :]
+    z = jnp.dot(acc, mat_ref[:, :], preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        fd_acc[:, :] = jnp.zeros_like(fd_acc)
+        xe_acc[:, :] = jnp.zeros_like(xe_acc)
+
+    re0 = z[:, 0:m]
+    im0 = z[:, a * m : a * m + m]
+    fr = fr_ref[:, :]
+    fi = fi_ref[:, :]
+    for p in range(1, a):
+        rp = z[:, p * m : (p + 1) * m]
+        ip = z[:, (a + p) * m : (a + p + 1) * m]
+        # ref × conj(sig), then unscaled inverse DFT, then magnitude
+        pr = re0 * rp + im0 * ip
+        pi = im0 * rp - re0 * ip
+        zfr = (jnp.dot(pr, fr, preferred_element_type=jnp.float32)
+               - jnp.dot(pi, fi, preferred_element_type=jnp.float32))
+        zfi = (jnp.dot(pr, fi, preferred_element_type=jnp.float32)
+               + jnp.dot(pi, fr, preferred_element_type=jnp.float32))
+        mag = jnp.sqrt(zfr * zfr + zfi * zfi)
+        pad = jnp.zeros((LANES - m,), jnp.float32)
+        fd_acc[p - 1, :] = fd_acc[p - 1, :] + jnp.concatenate(
+            [jnp.sum(mag, axis=0), pad])
+
+    for k, (s1, s2) in enumerate(baselines):
+        r1 = z[:, s1 * m : (s1 + 1) * m]
+        i1 = z[:, (a + s1) * m : (a + s1 + 1) * m]
+        r2 = z[:, s2 * m : (s2 + 1) * m]
+        i2 = z[:, (a + s2) * m : (a + s2 + 1) * m]
+        gr = jnp.sum(r1 * r2 + i1 * i2, axis=0)
+        gi = jnp.sum(i1 * r2 - r1 * i2, axis=0)
+        pad2 = jnp.zeros((LANES - 2 * m,), jnp.float32)
+        xe_acc[k, :] = xe_acc[k, :] + jnp.concatenate([gr, gi, pad2])
+
+    @pl.when(i == num - 1)
+    def _():
+        fd_out[:, :] = fd_acc[:, :]
+        xe_out[:, :] = xe_acc[:, :]
+
+
+def fx_correlate_packed(y_packed, hr, num_antennas: int, m: int,
+                        tile: int = 512, interpret: bool = False):
+    """Fused flagship: packed stream → (fd_sum [A-1, M] float32,
+    gram [nb, 2·M] float32 re|im) with NO spectra materialization.
+
+    fd_sum is the SUM over output groups of |IDFT(ref·conj(sig))| (divide by
+    nout for the mean); gram rows follow xGPU triangular baseline order.
+    """
+    from clenabled_tpu.dsp import xengine as dsp_xengine
+
+    w = hr.shape[0]
+    nout = y_packed.shape[0] - (w - 1)
+    gm = y_packed.shape[1]
+    if gm != 2 * num_antennas * m:
+        raise ValueError(f"lane dim {gm} != 2*{num_antennas}*{m}")
+    if nout % tile:
+        raise ValueError(f"nout {nout} must be a multiple of tile {tile}")
+    mat = jnp.asarray(_idft_block_matrix(m, num_antennas))
+    sign_ang = 2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
+    # right-multiplication constants for the in-kernel inverse DFT: y = x Fᵀ
+    fr = jnp.asarray(np.cos(sign_ang).T.astype(np.float32))
+    fi = jnp.asarray(np.sin(sign_ang).T.astype(np.float32))
+    baselines = tuple(map(tuple, dsp_xengine.baseline_stations(num_antennas)))
+    nb = len(baselines)
+    fd_rows = max(8, num_antennas - 1)
+    xe_rows = max(8, nb)
+    fd, xe = pl.pallas_call(
+        partial(_fx_kernel, tile=tile, w=w, a=num_antennas, m=m,
+                baselines=baselines),
+        grid=(nout // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((fd_rows, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((xe_rows, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((fd_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((xe_rows, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile + w - 1, gm), jnp.float32),
+            pltpu.VMEM((fd_rows, LANES), jnp.float32),
+            pltpu.VMEM((xe_rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nout * gm * (w + gm) + 16 * nout * m * num_antennas * m,
+            bytes_accessed=4 * y_packed.size,
+            transcendentals=nout * m * (num_antennas - 1),
+        ),
+        interpret=interpret,
+    )(y_packed, hr, mat, fr, fi)
+    return fd[: num_antennas - 1, :m], xe[:nb, : 2 * m]
+
+
+def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
+                      fd_out, xe_out, scratch, fd_acc, xe_acc, sems, *,
+                      tile_rows, halo, w, a, m, baselines):
+    """Transpose-free fused flagship kernel (flat layout).
+
+    Each component group g (antenna × re/im) is a FLAT [rows, 128] stream
+    view — no host packing at all.  A branch shift of c rows in sample
+    space is 16·(w−1−c) samples = a lane roll (multiple of m) + row carry,
+    so the polyphase MACs run as ≤8 lane rolls + w masked MACs per group.
+    Row r then holds 8 interleaved output groups (16 reversed channels
+    each); one [·,128]×[128,128] matmul pair per antenna applies the
+    inverse DFT (reversal folded in), and the FD/X-Engine reductions fold
+    the 8 lane blocks with strided adds.  Everything HBM-side is 128-lane
+    aligned."""
+    i = pl.program_id(0)
+    num = pl.num_programs(0)
+    g = 2 * a
+    dmas = []
+    for gi in range(g):
+        d = pltpu.make_async_copy(
+            x_hbm.at[gi, pl.ds(i * tile_rows, tile_rows + halo), :],
+            scratch.at[gi], sems.at[gi])
+        d.start()
+        dmas.append(d)
+    for d in dmas:
+        d.wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+
+    def branch_sums(gi):
+        """acc[r, λ] = Σ_c taps[c·m + (m−1−λ%m)] · feed[r·128 + λ + (w−1−c)·16]"""
+        sc = scratch[gi]
+        acc = jnp.zeros((tile_rows, LANES), jnp.float32)
+        for s in range(0, LANES, m):          # the 8 distinct roll amounts
+            rolled = pltpu.roll(sc, LANES - s, 1) if s else sc
+            mask = lane < LANES - s
+            cs = [c for c in range(w) if ((w - 1 - c) * m) % LANES == s]
+            for c in cs:
+                q = ((w - 1 - c) * m) // LANES
+                same = rolled[q : q + tile_rows, :]
+                nxt = rolled[q + 1 : q + 1 + tile_rows, :]
+                acc = acc + hr_ref[c, :] * jnp.where(mask, same, nxt)
+        return acc
+
+    accs = [branch_sums(gi) for gi in range(g)]
+    zs = []
+    for ai in range(a):
+        zr = (jnp.dot(accs[ai], matr_ref[:, :],
+                      preferred_element_type=jnp.float32)
+              - jnp.dot(accs[a + ai], mati_ref[:, :],
+                        preferred_element_type=jnp.float32))
+        zi = (jnp.dot(accs[ai], mati_ref[:, :],
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(accs[a + ai], matr_ref[:, :],
+                        preferred_element_type=jnp.float32))
+        zs.append((zr, zi))
+
+    @pl.when(i == 0)
+    def _():
+        fd_acc[:, :] = jnp.zeros_like(fd_acc)
+        xe_acc[:, :] = jnp.zeros_like(xe_acc)
+
+    re0, im0 = zs[0]
+    for p in range(1, a):
+        rp, ip = zs[p]
+        pr = re0 * rp + im0 * ip
+        pi = im0 * rp - re0 * ip
+        # second-stage (lag) inverse DFT uses the UNREVERSED block matrix —
+        # spectra are already in normal channel order
+        zfr = (jnp.dot(pr, matr2_ref[:, :],
+                       preferred_element_type=jnp.float32)
+               - jnp.dot(pi, mati2_ref[:, :],
+                         preferred_element_type=jnp.float32))
+        zfi = (jnp.dot(pr, mati2_ref[:, :],
+                       preferred_element_type=jnp.float32)
+               + jnp.dot(pi, matr2_ref[:, :],
+                         preferred_element_type=jnp.float32))
+        mag = jnp.sum(jnp.sqrt(zfr * zfr + zfi * zfi), axis=0)  # [128]
+        fd_acc[p - 1, :] = fd_acc[p - 1, :] + mag
+
+    for k, (s1, s2) in enumerate(baselines):
+        r1, i1 = zs[s1]
+        r2, i2 = zs[s2]
+        gr = jnp.sum(r1 * r2 + i1 * i2, axis=0)
+        gi2 = jnp.sum(i1 * r2 - r1 * i2, axis=0)
+        xe_acc[2 * k, :] = xe_acc[2 * k, :] + gr
+        xe_acc[2 * k + 1, :] = xe_acc[2 * k + 1, :] + gi2
+
+    @pl.when(i == num - 1)
+    def _():
+        fd_out[:, :] = fd_acc[:, :]
+        xe_out[:, :] = xe_acc[:, :]
+
+
+def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
+                         tile_rows: int = 64, interpret: bool = False):
+    """Transpose-free fused flagship step (flat-layout kernel).
+
+    Args:
+      comps: [G, n] float32 — this frame's samples, G = 2·A groups
+        (antenna re parts then im parts).  n must be a multiple of
+        128·tile_rows.
+      hist: [G, W·m − 1] float32 — carried stream history (taps must be
+        branch-padded so ntaps == W·m, which _pfb_constants guarantees when
+        the prototype is zero-padded to a multiple of m).
+      taps_rm: [W, m] float32 — branch-major prototype taps.
+
+    Returns (fd_sum [A−1, m] lag-domain magnitude sums — divide by n/m for
+    the mean, fftshift outside — and gram [nb, 2m] re|im in xGPU order).
+    The only HBM-side data movement is one history+frame concat per group.
+    """
+    from clenabled_tpu.dsp import xengine as dsp_xengine
+
+    a = num_antennas
+    g = 2 * a
+    w = taps_rm.shape[0]
+    n = comps.shape[-1]
+    if comps.shape[0] != g:
+        raise ValueError(f"expected {g} component streams")
+    if hist.shape != (g, w * m - 1):
+        raise ValueError(f"hist shape {hist.shape} != {(g, w * m - 1)}")
+    if n % (LANES * tile_rows):
+        raise ValueError(
+            f"frame length {n} must be a multiple of {LANES * tile_rows}")
+    out_rows = n // LANES
+    halo = 8
+    feed_rows = out_rows + halo
+    pad = feed_rows * LANES - (w * m - 1) - n
+    feed = jnp.concatenate(
+        [hist, comps, jnp.zeros((g, pad), jnp.float32)], axis=-1)
+    feed = feed.reshape(g, feed_rows, LANES)
+
+    # taps lane pattern: hr[c, λ] = taps[c·m + (m−1−λ%m)], identical per block
+    t_np = np.asarray(taps_rm, np.float32)          # [w, m]
+    hr_np = np.tile(t_np[:, ::-1], (1, LANES // m))  # [w, 128]
+    hr2 = jnp.asarray(hr_np)
+    # stage-1 block DFT with input reversal folded: B[jr, k] = F[m−1−jr, k]
+    ang = 2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
+    f1r = np.cos(ang).astype(np.float32)
+    f1i = np.sin(ang).astype(np.float32)
+    def blockdiag(b):
+        out = np.zeros((LANES, LANES), np.float32)
+        for bi in range(LANES // m):
+            out[bi * m : (bi + 1) * m, bi * m : (bi + 1) * m] = b
+        return out
+    matr = jnp.asarray(blockdiag(f1r[::-1, :]))
+    mati = jnp.asarray(blockdiag(f1i[::-1, :]))
+    matr2 = jnp.asarray(blockdiag(f1r))
+    mati2 = jnp.asarray(blockdiag(f1i))
+    baselines = tuple(map(tuple, dsp_xengine.baseline_stations(a)))
+    nb = len(baselines)
+    fd_rows = max(8, a - 1)
+    xe_rows = max(8, 2 * nb)
+    fd, xe = pl.pallas_call(
+        partial(_fx_stream_kernel, tile_rows=tile_rows, halo=halo, w=w,
+                a=a, m=m, baselines=baselines),
+        grid=(out_rows // tile_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=(
+            pl.BlockSpec((fd_rows, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((xe_rows, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((fd_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((xe_rows, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g, tile_rows + halo, LANES), jnp.float32),
+            pltpu.VMEM((fd_rows, LANES), jnp.float32),
+            pltpu.VMEM((xe_rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((g,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * g * (w + 2 * m),
+            bytes_accessed=4 * feed.size,
+            transcendentals=n * (a - 1),
+        ),
+        interpret=interpret,
+    )(feed, hr2, matr, mati, matr2, mati2)
+    # fold the 8 interleaved lane blocks (different output groups)
+    fd_sum = fd[: a - 1].reshape(a - 1, LANES // m, m).sum(axis=1)
+    xef = xe[: 2 * nb].reshape(nb, 2, LANES // m, m).sum(axis=2)
+    gram = jnp.concatenate([xef[:, 0, :], xef[:, 1, :]], axis=-1)
+    return fd_sum, gram
+
+
 def _pfb_kernel(y_hbm, hr_ref, mat_ref, out_ref, scratch, sem, *, tile, w):
     i = pl.program_id(0)
     dma = pltpu.make_async_copy(

@@ -46,6 +46,8 @@ def make_fx_pipeline(cfg: FxPipelineConfig = FxPipelineConfig(),
     m = cfg.num_channels
     proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
                             samp_rate / (2 * m) * 0.2)
+    proto = np.concatenate(
+        [proto, np.zeros((-len(proto)) % m, np.float32)])
     taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
     n = cfg.samples_per_step
 
@@ -88,6 +90,8 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
     m = cfg.num_channels
     proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
                             samp_rate / (2 * m) * 0.2)
+    proto = np.concatenate(
+        [proto, np.zeros((-len(proto)) % m, np.float32)])
     taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
     n = cfg.samples_per_step
     ch_all = jnp.arange(m, dtype=jnp.int32)
@@ -139,6 +143,48 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
     return fn, (x, x, hist, hist)
 
 
+def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
+                           samp_rate: float = 100e6):
+    """Maximally fused flagship: ONE Pallas kernel does PFB → DFT →
+    FD-xcorr accumulation → X-Engine Gram accumulation without ever
+    materializing spectra in HBM (dsp.pallas_kernels.fx_correlate_packed).
+    Same outputs as make_fx_pipeline_planar.  TPU-only (no interpret path
+    in the jitted step)."""
+    from clenabled_tpu.dsp import pallas_kernels
+
+    a = cfg.num_antennas
+    m = cfg.num_channels
+    proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
+                            samp_rate / (2 * m) * 0.2)
+    proto = np.concatenate(
+        [proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
+    w = taps_rm.shape[0]
+    n = cfg.samples_per_step
+    nout = n // m
+    tile_rows = 128
+    while (n // 128) % tile_rows:
+        tile_rows //= 2
+    hlen = w * m - 1  # carried stream history per component group
+
+    @jax.jit
+    def fn(xr, xi, hr, hi):
+        comps = jnp.concatenate([xr, xi], axis=0)        # [2A, n]
+        hist = jnp.concatenate([hr, hi], axis=0)         # [2A, hlen]
+        fd_sum, gram = pallas_kernels.fx_correlate_streams(
+            comps, hist, taps_rm, a, m, tile_rows=tile_rows)
+        fd = jnp.roll(fd_sum / nout, m // 2, axis=-1)    # [A-1, M]
+        xre = gram[:, :m].T[:, :, None]                  # [F, nb, 1]
+        xim = gram[:, m:].T[:, :, None]
+        new_hr = xr[:, n - hlen:]
+        new_hi = xi[:, n - hlen:]
+        return fd, xre, xim, new_hr, new_hi
+
+    x = jnp.zeros((a, n), jnp.float32)
+    hist = jnp.zeros((a, hlen), jnp.float32)
+    return fn, (x, x, hist, hist)
+
+
 def make_sharded_fx_pipeline(mesh: Mesh, axis: str = "shard",
                              cfg: FxPipelineConfig = FxPipelineConfig(),
                              samp_rate: float = 100e6):
@@ -157,6 +203,8 @@ def make_sharded_fx_pipeline(mesh: Mesh, axis: str = "shard",
     d = mesh.shape[axis]
     proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
                             samp_rate / (2 * m) * 0.2)
+    proto = np.concatenate(
+        [proto, np.zeros((-len(proto)) % m, np.float32)])
     taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
     if cfg.samples_per_step < ntaps - 1:
         raise ValueError(

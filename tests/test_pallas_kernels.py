@@ -34,3 +34,44 @@ def test_idft_block_matrix_structure():
     # antenna blocks are decoupled: cross-antenna blocks are zero
     assert np.all(mat[0:16, 16:32] == 0)  # re(a0) x re(a1)
     assert np.all(mat[0:16, 48:64] == 0)  # re(a0) x im(a1)
+
+
+def test_flat_fused_fx_kernel_matches_xla_path():
+    """fx_correlate_streams (the 1.2 GSPS flagship kernel) vs the XLA
+    reference math, interpret mode."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import xengine
+
+    a, m = 4, 16
+    fs = 100e6
+    proto = firdes.low_pass(1.0, fs, fs / (2 * m) * 0.8, fs / (2 * m) * 0.2)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, ntaps = channelizer._pfb_constants(proto, m, m)
+    w = taps_rm.shape[0]
+    assert ntaps == w * m
+    nout = 512
+    n = nout * m
+    rng = np.random.default_rng(5)
+    comps = rng.standard_normal((2 * a, n)).astype(np.float32)
+    hist = rng.standard_normal((2 * a, w * m - 1)).astype(np.float32)
+    fd, xe = pallas_kernels.fx_correlate_streams(
+        comps, hist, np.asarray(taps_rm), a, m, tile_rows=8, interpret=True)
+    fd, xe = np.asarray(fd), np.asarray(xe)
+
+    full = np.concatenate([hist[:, -(ntaps - 1):], comps], axis=-1)
+    acc = channelizer._branch_sums_critical_batched(full, taps_rm, m, ntaps, nout)
+    spec = planar.ifft_unscaled(planar.PC(np.asarray(acc[:a]), np.asarray(acc[a:])))
+    zc = planar.to_complex(spec)
+    want_fd = np.stack([
+        np.abs(np.fft.ifft(zc[0] * np.conj(zc[p]), axis=-1) * m).sum(axis=0)
+        for p in range(1, a)])
+    np.testing.assert_allclose(fd, want_fd, rtol=1e-4,
+                               atol=1e-4 * np.abs(want_fd).max())
+    zt = np.transpose(zc, (1, 0, 2))[..., None]
+    want_x = np.asarray(xengine.xengine_correlate(zt.astype(np.complex64), npol=1))
+    scale = np.abs(want_x).max()
+    np.testing.assert_allclose(xe[:, :m], want_x[..., 0].real.T,
+                               rtol=1e-4, atol=1e-4 * scale)
+    np.testing.assert_allclose(xe[:, m:], want_x[..., 0].imag.T,
+                               rtol=1e-4, atol=1e-4 * scale)
