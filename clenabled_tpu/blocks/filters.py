@@ -36,6 +36,16 @@ class Filter(Block):
         self._taps = taps
         if self.use_time:
             if self.planar:
+                import jax
+
+                if (jax.default_backend() != "cpu"
+                        and not np.iscomplexobj(taps)):
+                    # TPU fast path: Pallas shifted-MAC FIR (~150× XLA conv);
+                    # needs frames in multiples of 128·tile_rows
+                    self._init, self._apply = dsp_fir.make_fir_filter_planar(
+                        taps, self.decimation, tile_rows=8)
+                    self.quantum = math.lcm(1024, self.decimation)
+                    return
                 self._init, self._apply = dsp_fir.make_fir_filter_planar_xla(
                     taps, self.decimation)
             else:
