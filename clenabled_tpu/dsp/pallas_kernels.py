@@ -148,126 +148,6 @@ def fir_direct(x, taps, tile_rows: int = 256, interpret: bool = False):
     )(xp, taps_k).reshape(n)
 
 
-def _fx_kernel(y_hbm, hr_ref, mat_ref, fr_ref, fi_ref, fd_out, xe_out,
-               scratch, fd_acc, xe_acc, sem, *, tile, w, a, m, baselines):
-    """Whole-flagship fusion: PFB shifted MACs → block-matrix inverse DFT →
-    FD cross-correlation accumulation AND X-Engine Gram accumulation, all
-    from one VMEM residency of each tile.  The channelized spectra are
-    never written to HBM — the only outputs are the tiny accumulators."""
-    i = pl.program_id(0)
-    num = pl.num_programs(0)
-    dma = pltpu.make_async_copy(
-        y_hbm.at[pl.ds(i * tile, tile + w - 1), :], scratch, sem)
-    dma.start()
-    dma.wait()
-    acc = hr_ref[0, :] * scratch[0:tile, :]
-    for wp in range(1, w):
-        acc = acc + hr_ref[wp, :] * scratch[wp : wp + tile, :]
-    z = jnp.dot(acc, mat_ref[:, :], preferred_element_type=jnp.float32)
-
-    @pl.when(i == 0)
-    def _():
-        fd_acc[:, :] = jnp.zeros_like(fd_acc)
-        xe_acc[:, :] = jnp.zeros_like(xe_acc)
-
-    re0 = z[:, 0:m]
-    im0 = z[:, a * m : a * m + m]
-    fr = fr_ref[:, :]
-    fi = fi_ref[:, :]
-    for p in range(1, a):
-        rp = z[:, p * m : (p + 1) * m]
-        ip = z[:, (a + p) * m : (a + p + 1) * m]
-        # ref × conj(sig), then unscaled inverse DFT, then magnitude
-        pr = re0 * rp + im0 * ip
-        pi = im0 * rp - re0 * ip
-        zfr = (jnp.dot(pr, fr, preferred_element_type=jnp.float32)
-               - jnp.dot(pi, fi, preferred_element_type=jnp.float32))
-        zfi = (jnp.dot(pr, fi, preferred_element_type=jnp.float32)
-               + jnp.dot(pi, fr, preferred_element_type=jnp.float32))
-        mag = jnp.sqrt(zfr * zfr + zfi * zfi)
-        pad = jnp.zeros((LANES - m,), jnp.float32)
-        fd_acc[p - 1, :] = fd_acc[p - 1, :] + jnp.concatenate(
-            [jnp.sum(mag, axis=0), pad])
-
-    for k, (s1, s2) in enumerate(baselines):
-        r1 = z[:, s1 * m : (s1 + 1) * m]
-        i1 = z[:, (a + s1) * m : (a + s1 + 1) * m]
-        r2 = z[:, s2 * m : (s2 + 1) * m]
-        i2 = z[:, (a + s2) * m : (a + s2 + 1) * m]
-        gr = jnp.sum(r1 * r2 + i1 * i2, axis=0)
-        gi = jnp.sum(i1 * r2 - r1 * i2, axis=0)
-        pad2 = jnp.zeros((LANES - 2 * m,), jnp.float32)
-        xe_acc[k, :] = xe_acc[k, :] + jnp.concatenate([gr, gi, pad2])
-
-    @pl.when(i == num - 1)
-    def _():
-        fd_out[:, :] = fd_acc[:, :]
-        xe_out[:, :] = xe_acc[:, :]
-
-
-def fx_correlate_packed(y_packed, hr, num_antennas: int, m: int,
-                        tile: int = 512, interpret: bool = False):
-    """Fused flagship: packed stream → (fd_sum [A-1, M] float32,
-    gram [nb, 2·M] float32 re|im) with NO spectra materialization.
-
-    fd_sum is the SUM over output groups of |IDFT(ref·conj(sig))| (divide by
-    nout for the mean); gram rows follow xGPU triangular baseline order.
-    """
-    from clenabled_tpu.dsp import xengine as dsp_xengine
-
-    w = hr.shape[0]
-    nout = y_packed.shape[0] - (w - 1)
-    gm = y_packed.shape[1]
-    if gm != 2 * num_antennas * m:
-        raise ValueError(f"lane dim {gm} != 2*{num_antennas}*{m}")
-    if nout % tile:
-        raise ValueError(f"nout {nout} must be a multiple of tile {tile}")
-    mat = jnp.asarray(_idft_block_matrix(m, num_antennas))
-    sign_ang = 2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
-    # right-multiplication constants for the in-kernel inverse DFT: y = x Fᵀ
-    fr = jnp.asarray(np.cos(sign_ang).T.astype(np.float32))
-    fi = jnp.asarray(np.sin(sign_ang).T.astype(np.float32))
-    baselines = tuple(map(tuple, dsp_xengine.baseline_stations(num_antennas)))
-    nb = len(baselines)
-    fd_rows = max(8, num_antennas - 1)
-    xe_rows = max(8, nb)
-    fd, xe = pl.pallas_call(
-        partial(_fx_kernel, tile=tile, w=w, a=num_antennas, m=m,
-                baselines=baselines),
-        grid=(nout // tile,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((fd_rows, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((xe_rows, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((fd_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((xe_rows, LANES), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tile + w - 1, gm), jnp.float32),
-            pltpu.VMEM((fd_rows, LANES), jnp.float32),
-            pltpu.VMEM((xe_rows, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nout * gm * (w + gm) + 16 * nout * m * num_antennas * m,
-            bytes_accessed=4 * y_packed.size,
-            transcendentals=nout * m * (num_antennas - 1),
-        ),
-        interpret=interpret,
-    )(y_packed, hr, mat, fr, fi)
-    return fd[: num_antennas - 1, :m], xe[:nb, : 2 * m]
-
-
 def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
                       fd_out, xe_out, scratch, fd_acc, xe_acc, sems, *,
                       tile_rows, halo, w, a, m, baselines):

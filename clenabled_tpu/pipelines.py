@@ -84,7 +84,6 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
     Pallas kernel (dsp.pallas_kernels).  Default: on for TPU platforms,
     off for CPU."""
     from clenabled_tpu.dsp import planar
-    from clenabled_tpu.dsp import xcorr as dsp_xcorr_mod
 
     a = cfg.num_antennas
     m = cfg.num_channels
@@ -145,11 +144,11 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
 
 def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
                            samp_rate: float = 100e6):
-    """Maximally fused flagship: ONE Pallas kernel does PFB → DFT →
-    FD-xcorr accumulation → X-Engine Gram accumulation without ever
-    materializing spectra in HBM (dsp.pallas_kernels.fx_correlate_packed).
-    Same outputs as make_fx_pipeline_planar.  TPU-only (no interpret path
-    in the jitted step)."""
+    """Maximally fused flagship: ONE flat-layout Pallas kernel does PFB →
+    DFT → FD-xcorr accumulation → X-Engine Gram accumulation without ever
+    materializing spectra in HBM (dsp.pallas_kernels.fx_correlate_streams);
+    each input sample is read from HBM exactly once.  Same outputs as
+    make_fx_pipeline_planar.  TPU-only (interpret mode covers testing)."""
     from clenabled_tpu.dsp import pallas_kernels
 
     a = cfg.num_antennas
