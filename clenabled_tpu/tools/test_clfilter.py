@@ -13,6 +13,8 @@ def main() -> None:
     ap.add_argument("--blocksize", type=int, default=1 << 18)
     ap.add_argument("--decimation", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--planar", action="store_true",
+                    help="complex-free float32 path (required on axon TPU)")
     ap.add_argument("--iterations", type=int, default=100)
     args = ap.parse_args()
 
@@ -21,17 +23,45 @@ def main() -> None:
 
     import jax
 
-    from clenabled_tpu.dsp import fft_filter, fir_filter, firdes
+    from clenabled_tpu.dsp import fft_filter, fir_filter, firdes, planar
 
     # RRC like the 241-tap benchmark variant; any ntaps accepted
     taps = firdes.root_raised_cosine(1.0, 10e6, 10e6 / (args.ntaps / 11 + 2),
                                      0.22, args.ntaps)
     print(f"platform: {T.platform_banner()}   ntaps: {len(taps)}   "
-          f"blocksize: {args.blocksize}   decim: {args.decimation}")
+          f"blocksize: {args.blocksize}   decim: {args.decimation}   "
+          f"planar: {args.planar}")
 
     it = args.iterations
-    x = jax.device_put(T.rand_complex(args.blocksize))
 
+    if args.planar:
+        nn = max(1, args.blocksize // 1024) * 1024
+        frame = planar.PC(jax.device_put(T.rand_float(nn, 1)),
+                          jax.device_put(T.rand_float(nn, 2)))
+        if jax.default_backend() == "cpu":
+            fini, fapp = fir_filter.make_fir_filter_planar_xla(
+                taps, args.decimation)
+            td_name = "time-domain FIR (planar XLA)"
+        else:
+            tile = 256
+            while (nn // 128) % tile:
+                tile //= 2
+            fini, fapp = fir_filter.make_fir_filter_planar(
+                taps, args.decimation, tile_rows=tile)
+            td_name = "time-domain FIR (Pallas)"
+        secs = T.time_stateful(fapp, fini(), frame, iterations=it)
+        T.report(td_name, nn, secs)
+        oini, oapp, plan = fft_filter.make_fft_filter_planar(
+            taps, args.decimation)
+        q = fft_filter.frame_quantum(plan)
+        n2 = max(1, args.blocksize // q) * q
+        frame2 = planar.PC(jax.device_put(T.rand_float(n2, 3)),
+                           jax.device_put(T.rand_float(n2, 4)))
+        secs = T.time_stateful(oapp, oini(), frame2, iterations=it)
+        T.report(f"freq-domain OFA (fft {plan.fftsize})", n2, secs)
+        return
+
+    x = jax.device_put(T.rand_complex(args.blocksize))
     fini, fapp = fir_filter.make_fir_filter(taps, args.decimation)
     secs = T.time_stateful(fapp, fini(), x, iterations=it)
     T.report("time-domain FIR", args.blocksize, secs)

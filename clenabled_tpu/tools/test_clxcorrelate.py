@@ -16,6 +16,10 @@ def main() -> None:
     ap.add_argument("--input_complex", action="store_true")
     ap.add_argument("--fftonly", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--planar", action="store_true",
+                    help="complex-free float32 path (required on axon TPU)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="analysis windows per dispatch")
     ap.add_argument("--iterations", type=int, default=100)
     args = ap.parse_args()
 
@@ -33,23 +37,45 @@ def main() -> None:
     print(f"platform: {T.platform_banner()}   inputs: {k}   "
           f"signal_length: {n}   max_search: {args.maxsearch}")
 
+    b = max(1, args.batch)
     if not args.fftonly:
-        if args.input_complex:
-            sigs = np.stack([T.rand_complex(n, i) for i in range(k)])
-            itemsize = 8
-        else:
-            sigs = np.stack([T.rand_float(n, i) for i in range(k)])
+        if args.planar:
+            sigs = jax.device_put(
+                np.stack([T.rand_float(b * n, i).reshape(b, n)
+                          for i in range(k)]))
+            if b > 1:
+                fn = jax.jit(lambda s: xcorr.td_xcorr_batched(s, args.maxsearch))
+            else:
+                fn = jax.jit(lambda s: xcorr.td_xcorr_planar(s[:, 0],
+                                                             args.maxsearch))
             itemsize = 4
-        sigs = jax.device_put(sigs)
-        fn = jax.jit(lambda s: xcorr.td_xcorr(s, args.maxsearch))
+        else:
+            mk = T.rand_complex if args.input_complex else T.rand_float
+            itemsize = 8 if args.input_complex else 4
+            sigs = jax.device_put(
+                np.stack([mk(b * n, i).reshape(b, n) for i in range(k)]))
+            if b > 1:
+                fn = jax.jit(lambda s: xcorr.td_xcorr_batched(s, args.maxsearch))
+            else:
+                fn = jax.jit(lambda s: xcorr.td_xcorr(s[:, 0], args.maxsearch))
         secs = T.time_fn(fn, sigs, iterations=it)
-        total = n * k
-        T.report("TD xcorr", total, secs,
+        total = n * k * b
+        T.report(f"TD xcorr (batch {b})", total, secs,
                  extra=f"{total * itemsize / secs / 1e9:.2f} GB/s in")
 
-    vecs = jax.device_put(np.stack([T.rand_complex(n, i) for i in range(k)]))
-    fn = jax.jit(lambda v: xcorr.fd_xcorr(v))
-    secs = T.time_fn(fn, vecs, iterations=it)
+    if args.planar:
+        from clenabled_tpu.dsp import planar
+
+        vecs = planar.PC(
+            jax.device_put(np.stack([T.rand_float(n, i) for i in range(k)])),
+            jax.device_put(np.stack([T.rand_float(n, 50 + i)
+                                     for i in range(k)])))
+        fn = jax.jit(lambda r, i2: xcorr.fd_xcorr_planar(planar.PC(r, i2)))
+        secs = T.time_fn(fn, vecs.re, vecs.im, iterations=it)
+    else:
+        vecs = jax.device_put(np.stack([T.rand_complex(n, i) for i in range(k)]))
+        fn = jax.jit(lambda v: xcorr.fd_xcorr(v))
+        secs = T.time_fn(fn, vecs, iterations=it)
     total = n * k
     T.report("FD xcorr (fft_vcf)", total, secs,
              extra=f"{total * 8 / secs / 1e9:.2f} GB/s in")

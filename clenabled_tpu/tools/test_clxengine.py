@@ -17,6 +17,8 @@ def main() -> None:
     ap.add_argument("--single-polarization", dest="single_pol",
                     action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--planar", action="store_true",
+                    help="complex-free float32 path (required on axon TPU)")
     ap.add_argument("--iterations", type=int, default=50)
     args = ap.parse_args()
 
@@ -38,12 +40,20 @@ def main() -> None:
           f"channels: {f}  integration: {t}  baselines: {nb}")
 
     rng = np.random.default_rng(0)
-    z = jax.device_put(
-        (rng.standard_normal((t, s, f, p)) + 1j * rng.standard_normal((t, s, f, p))
-         ).astype(np.complex64))
+    if args.planar:
+        from clenabled_tpu.dsp import planar
 
-    fn = jax.jit(lambda x: xengine.xengine_correlate(x, npol=p))
-    secs = T.time_fn(fn, z, iterations=it)
+        zr = jax.device_put(rng.standard_normal((t, s, f, p)).astype(np.float32))
+        zi = jax.device_put(rng.standard_normal((t, s, f, p)).astype(np.float32))
+        fn = jax.jit(lambda r, i2: xengine.xengine_correlate_planar(
+            planar.PC(r, i2), npol=p))
+        secs = T.time_fn(fn, zr, zi, iterations=it)
+    else:
+        z = jax.device_put(
+            (rng.standard_normal((t, s, f, p))
+             + 1j * rng.standard_normal((t, s, f, p))).astype(np.complex64))
+        fn = jax.jit(lambda x: xengine.xengine_correlate(x, npol=p))
+        secs = T.time_fn(fn, z, iterations=it)
 
     samples = t * f  # per-station complex samples per integration
     total = samples * s
