@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import importlib.util
-from fractions import Fraction
 from typing import Callable
 
 import jax.numpy as jnp

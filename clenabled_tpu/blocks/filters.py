@@ -5,7 +5,6 @@ from __future__ import annotations
 import math
 from fractions import Fraction
 
-import jax.numpy as jnp
 import numpy as np
 
 from clenabled_tpu.blocks._legacy import strip_legacy_kwargs

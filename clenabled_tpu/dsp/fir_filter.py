@@ -18,7 +18,6 @@ so XLA lowers everything onto the MXU; there is no scalar tap loop anywhere.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

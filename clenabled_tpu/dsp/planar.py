@@ -22,7 +22,7 @@ clFFT's backward scale to 1.0, lib/clFFT_impl.cc:121-122).
 from __future__ import annotations
 
 import math
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax

@@ -24,7 +24,6 @@ Input unpacking matches CharToComplex (:831-858): signed-byte I/Q scaled by
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple
 

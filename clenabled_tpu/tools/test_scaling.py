@@ -24,9 +24,6 @@ def main() -> None:
                     help="force the virtual CPU mesh")
     args = ap.parse_args()
 
-    import os
-    if args.cpu or True in []:
-        pass
     import jax
 
     if args.cpu:
