@@ -34,5 +34,6 @@ from clenabled_tpu.sharding.xengine_sharded import (  # noqa: F401
 )
 from clenabled_tpu.sharding.planar_halo import (  # noqa: F401
     make_sharded_fft_filter_planar,
+    make_sharded_channelizer_planar,
     sharded_xengine_planar,
 )

@@ -76,6 +76,57 @@ def make_sharded_fft_filter_planar(taps, mesh: Mesh, axis: str = "shard",
     return init_state, apply
 
 
+def make_sharded_channelizer_planar(taps, num_channels: int,
+                                    ninputs_per_iter: int, ch_map,
+                                    mesh: Mesh, axis: str = "shard"):
+    """Planar time-sharded PFB channelizer (complex-free multi-chip path):
+    input halo = ntaps-1 samples via ring ppermute on both components.
+    apply(state, x: PC[D·L]) → (state, out: PC[D·L/R, C])."""
+    from clenabled_tpu.dsp import channelizer as dsp_chan
+
+    taps_rm, ntaps = dsp_chan._pfb_constants(taps, num_channels,
+                                             ninputs_per_iter)
+    ch_arr = jnp.asarray(ch_map, jnp.int32)
+    d = mesh.shape[axis]
+    perm = _ring_fwd(d)
+
+    def init_state():
+        z = jnp.zeros((d, ntaps - 1), jnp.float32)
+        return (z, z)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=((P(axis, None), P(axis, None)),
+                       planar.PC(P(axis), P(axis))),
+             out_specs=((P(axis, None), P(axis, None)),
+                        planar.PC(P(axis, None), P(axis, None))))
+    def step(state, x):
+        idx = jax.lax.axis_index(axis)
+        recv_r = jax.lax.ppermute(x.re[-(ntaps - 1):], axis, perm)
+        recv_i = jax.lax.ppermute(x.im[-(ntaps - 1):], axis, perm)
+        halo_r = jnp.where(idx == 0, state[0][0], recv_r)
+        halo_i = jnp.where(idx == 0, state[1][0], recv_i)
+        full = planar.PC(jnp.concatenate([halo_r, x.re]),
+                         jnp.concatenate([halo_i, x.im]))
+        i_offset = idx * (x.re.shape[-1] // ninputs_per_iter)
+        out = dsp_chan._channelize_planar(
+            full, taps_rm, ch_arr, i_offset, num_channels=num_channels,
+            ninputs_per_iter=ninputs_per_iter, ntaps=ntaps)
+        new_state = (jnp.where(idx == 0, recv_r, state[0][0])[None],
+                     jnp.where(idx == 0, recv_i, state[1][0])[None])
+        return new_state, out
+
+    def apply(state, x):
+        local = x.re.shape[-1] // d
+        if local % ninputs_per_iter or local % num_channels:
+            raise ValueError(
+                f"per-shard block {local} must be a multiple of "
+                f"num_channels={num_channels} and R={ninputs_per_iter}")
+        return step(state, x)
+
+    return init_state, apply
+
+
 def sharded_xengine_planar(z, mesh: Mesh, axis: str = "shard", npol: int = 2):
     """Planar station-sharded X-Engine: z PC[T, S, F, P] station-sharded →
     channel-sharded triangular PC output (all_to_all on both components)."""

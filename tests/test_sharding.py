@@ -159,3 +159,24 @@ def test_sharded_planar_xengine_matches():
     got = np.asarray(got_pc.re) + 1j * np.asarray(got_pc.im)
     want = np.asarray(xengine.xengine_correlate(z, npol=p))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_planar_channelizer_matches_sequential():
+    from clenabled_tpu.dsp import planar
+    from clenabled_tpu.sharding import make_sharded_channelizer_planar
+
+    mesh = make_mesh()
+    m, r = 8, 4
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.25)
+    init_s, apply_s = make_sharded_channelizer_planar(
+        taps, m, r, list(range(m)), mesh)
+    init_q, apply_q = channelizer.make_channelizer(taps, m, r, list(range(m)))
+    n = 8 * 16 * m
+    state_s, state_q = init_s(), init_q()
+    for i in range(2):
+        x = cplx(n)
+        state_s, ys = apply_s(state_s, planar.from_complex(x))
+        state_q, yq = apply_q(state_q, x)
+        got = np.asarray(ys.re) + 1j * np.asarray(ys.im)
+        np.testing.assert_allclose(got, np.asarray(yq), rtol=1e-3, atol=1e-3,
+                                   err_msg=f"frame {i}")
