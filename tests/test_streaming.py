@@ -209,3 +209,26 @@ def test_checkpoint_mismatch_rejected(tmp_path):
     r2 = other.compile()
     with pytest.raises(ValueError):
         r2.load_state(ckpt)
+
+
+def test_long_run_stability():
+    """Soak: 200 frames through a stateful chain — outputs stay finite,
+    state doesn't blow up, stream continuity holds throughout."""
+    rng = np.random.default_rng(12)
+    lpf = blocks.LowPassFilter(1, 1.0, 1e6, 100e3, 50e3)
+    qd = blocks.QuadratureDemod(1.0)
+    g = Flowgraph()
+    g.external_input(lpf)
+    g.connect(lpf, qd)
+    tap = g.tap(qd, name="y")
+    frame = lpf.quantum
+    r = g.compile(frame_size=frame)
+    x = np.exp(1j * 0.3 * np.arange(200 * frame)).astype(np.complex64)
+    last = None
+    for i in range(200):
+        out = np.asarray(r.step(x[i * frame:(i + 1) * frame])[tap])
+        assert np.isfinite(out).all(), f"non-finite output at frame {i}"
+        if i > 2:  # past filter ramp-in: constant-frequency tone → 0.3 rad
+            np.testing.assert_allclose(out, 0.3, atol=1e-2)
+        last = out
+    assert last is not None and r.stats["steps"] == 200
