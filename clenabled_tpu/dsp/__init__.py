@@ -8,4 +8,17 @@ design is NumPy (it runs once, at construction); everything in the streaming
 hot path is jax.numpy / lax / Pallas.
 """
 
-from clenabled_tpu.dsp import window, firdes  # noqa: F401
+from clenabled_tpu.dsp import (  # noqa: F401
+    channelizer,
+    demod,
+    elementwise,
+    fft,
+    fft_filter,
+    fir_filter,
+    firdes,
+    planar,
+    siggen,
+    window,
+    xcorr,
+    xengine,
+)

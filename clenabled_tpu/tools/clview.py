@@ -17,7 +17,8 @@ def main() -> None:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from clenabled_tpu.runtime.device import device_info, get_context
+    from clenabled_tpu.runtime.device import (device_info, get_context,
+                                              is_axon, supports_complex)
 
     infos = device_info()
     print(f"Devices: {len(infos)}")
@@ -31,6 +32,10 @@ def main() -> None:
         print(line)
     ctx = get_context()
     print(f"Default mesh: {dict(ctx.mesh.shape)} on platform {ctx.platform}")
+    # capability report (the fp64/FMA/SVM probe analogue)
+    print(f"complex64 supported: {supports_complex()}"
+          + ("  (axon tunnel: use planar=True blocks / PC streams)"
+             if is_axon() else ""))
 
 
 if __name__ == "__main__":

@@ -16,6 +16,8 @@ def main() -> None:
     ap.add_argument("--iterations", type=int, default=200)
     ap.add_argument("--testcostas", action="store_true",
                     help="include the (sequential) Costas loop")
+    ap.add_argument("--planar", action="store_true",
+                    help="complex-free float32 path (required on axon TPU)")
     ap.add_argument("--baseline-only", action="store_true",
                     help="only the no-op copy baseline")
     args = ap.parse_args()
@@ -34,6 +36,49 @@ def main() -> None:
     it = args.iterations
     print(f"platform: {T.platform_banner()}   blocksize: {n}   "
           f"iterations: {it}")
+
+    if args.planar:
+        from clenabled_tpu.dsp import planar as pl_mod
+
+        ar = jax.device_put(T.rand_float(n, 1))
+        ai = jax.device_put(T.rand_float(n, 11))
+        br = jax.device_put(T.rand_float(n, 2))
+        bi = jax.device_put(T.rand_float(n, 12))
+        f = jax.device_put(T.rand_float(n, 3) ** 2 + 0.1)
+        g = jax.device_put(T.rand_float(n, 4) ** 2 + 0.1)
+        T.report("empty w/copy (baseline)", n, T.time_fn(
+            jax.jit(lambda x: x + 0), ar, iterations=it))
+        if args.baseline_only:
+            return
+        PC = pl_mod.PC
+        T.report("multiply (cc planar)", n, T.time_fn(
+            jax.jit(lambda r, i, r2, i2: pl_mod.mul(PC(r, i), PC(r2, i2))),
+            ar, ai, br, bi, iterations=it))
+        T.report("multiply conjugate", n, T.time_fn(
+            jax.jit(lambda r, i, r2, i2: pl_mod.mul_conj(PC(r, i), PC(r2, i2))),
+            ar, ai, br, bi, iterations=it))
+        T.report("complex->mag", n, T.time_fn(
+            jax.jit(lambda r, i: pl_mod.pabs(PC(r, i))), ar, ai, iterations=it))
+        T.report("complex->arg", n, T.time_fn(
+            jax.jit(lambda r, i: jnp.arctan2(i, r)), ar, ai, iterations=it))
+        T.report("log10 (n,k)", n, T.time_fn(
+            jax.jit(lambda x: ew.log10(x, 10.0, 1.0)), f, iterations=it))
+        T.report("snr helper", n, T.time_fn(
+            jax.jit(lambda x, y: ew.snr_helper(x, y, 10.0)), f, g, iterations=it))
+        from clenabled_tpu.dsp import fft as dsp_fft_mod
+        w2 = win.blackman_harris(2048)
+        T.report("fft 2048 fwd+win+shift", n, T.time_fn(
+            jax.jit(lambda r, i: dsp_fft_mod.fft_stream_planar(
+                PC(r, i), 2048, window=w2, shift=True)),
+            ar, ai, iterations=it))
+        qdp = jax.jit(lambda r, i: demod.quadrature_demod_planar(PC(r, i), 1.0))
+        T.report("quadrature demod", n, T.time_fn(qdp, ar, ai, iterations=it))
+        if args.testcostas:
+            run = demod.make_costas_loop_planar(0.02, 2)
+            T.report("costas loop (order 2)", n, T.time_stateful(
+                lambda st, r, i: run(st, PC(r, i)), demod.costas_init(),
+                ar, ai, iterations=max(5, it // 20)))
+        return
 
     a = jax.device_put(T.rand_complex(n, 1))
     b = jax.device_put(T.rand_complex(n, 2))
