@@ -37,3 +37,7 @@ from clenabled_tpu.sharding.planar_halo import (  # noqa: F401
     make_sharded_channelizer_planar,
     sharded_xengine_planar,
 )
+from clenabled_tpu.sharding.chain import (  # noqa: F401
+    ShardedChain,
+    make_sharded_quadrature_demod,
+)

@@ -180,3 +180,50 @@ def test_sharded_planar_channelizer_matches_sequential():
         got = np.asarray(ys.re) + 1j * np.asarray(ys.im)
         np.testing.assert_allclose(got, np.asarray(yq), rtol=1e-3, atol=1e-3,
                                    err_msg=f"frame {i}")
+
+
+def test_sharded_chain_matches_sequential_flowgraph():
+    """ShardedChain(LPF -> scale -> quad demod) == the sequential chain."""
+    from clenabled_tpu.sharding import ShardedChain
+    from clenabled_tpu.dsp import demod as dsp_demod
+
+    mesh = make_mesh()
+    taps = firdes.low_pass(1.0, 1e6, 100e3, 20e3)
+    chain = (ShardedChain(mesh)
+             .add_fft_filter(taps)
+             .add_map(lambda x: x * 2.0)
+             .add_quadrature_demod(0.7))
+    init, step = chain.compile()
+
+    # sequential reference
+    iq, aq, plan = fft_filter.make_fft_filter(taps)
+    n = 8 * plan.nsamples * 2
+    state_s = init()
+    state_f = iq()
+    last = None
+    for i in range(3):
+        x = cplx(n)
+        state_s, ys = step(state_s, x)
+        state_f, yf = aq(state_f, x)
+        yf = np.asarray(yf) * 2.0
+        yq, last = dsp_demod.quadrature_demod(yf, 0.7, last_sample=last)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yq),
+                                   rtol=1e-3, atol=1e-3,
+                                   err_msg=f"frame {i}")
+
+
+def test_sharded_chain_with_channelizer():
+    from clenabled_tpu.sharding import ShardedChain
+
+    mesh = make_mesh()
+    m = 8
+    proto = firdes.low_pass(1.0, float(m), 0.5, 0.25)
+    chain = ShardedChain(mesh).add_channelizer(proto, m, m, list(range(m)))
+    init, step = chain.compile()
+    n = 8 * 16 * m
+    x = cplx(n)
+    _, out = step(init(), x)
+    iq, aq = channelizer.make_channelizer(proto, m, m, list(range(m)))
+    _, want = aq(iq(), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
