@@ -18,6 +18,8 @@ _LEGACY_KWARGS = (
     "devId",
     "setDebug",
     "nthreads",
+    "idataType",
+    "iDataSize",
 )
 
 

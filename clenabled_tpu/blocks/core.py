@@ -102,7 +102,6 @@ class MathOp(Block):
 
     def __init__(self, op: int, name: str = "", **legacy):
         strip_legacy_kwargs(legacy)
-        legacy.pop("idataType", None)
         self.name = name
         self.op = op
         self.n_inputs = 1 if op in (
@@ -263,7 +262,6 @@ class Kernel1To1(Block):
     def __init__(self, fn: Callable | None = None, *,
                  filename: str | None = None, kernelFnName: str | None = None,
                  name: str = "", **legacy):
-        legacy.pop("idataType", None)
         strip_legacy_kwargs(legacy)
         self.name = name
         if fn is None:

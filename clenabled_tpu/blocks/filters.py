@@ -111,6 +111,13 @@ class ComplexFilter(Filter):
                     taps, self.decimation)
             self.quantum = dsp_ofa.frame_quantum(self._plan)
 
+    def set_taps(self, taps):
+        """Rebuild for new COMPLEX taps (clComplexFilter set_taps2).  NOTE:
+        resets carried filter state; re-compile the flowgraph after."""
+        self._set(np.asarray(taps, np.complex64))
+
+    set_taps2 = set_taps
+
 
 # GRC wrapper blocks: their yml make-templates embed firdes calls
 # (e.g. grc/clenabled_clLowPassFilter.block.yml:83-87).

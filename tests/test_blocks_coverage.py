@@ -121,3 +121,25 @@ def test_empty_mathop_passthrough():
     a = cplx(256)
     got = run_one(blocks.MathOp(ew.MATHOP_EMPTY), a, frame=256)[0]
     np.testing.assert_array_equal(got, a)
+
+
+def test_legacy_kwargs_accepted():
+    """Reference make() callers pass the OpenCL device tuple + idataType —
+    all accepted and ignored."""
+    legacy = dict(idataType=1, openCLPlatformType=4, devSelector=1,
+                  platformId=0, devId=0, setDebug=0)
+    blocks.MathOp(1, **legacy)
+    blocks.SignalSource(1e6, 1, 1e3, 1.0, 1024, **legacy)
+    blocks.Fft(512, **legacy)
+    blocks.QuadratureDemod(1.0, **legacy)
+    with pytest.raises(TypeError):
+        blocks.MathOp(1, not_a_param=3)
+
+
+def test_complex_filter_set_taps_preserves_complex():
+    taps1 = firdes.complex_band_pass(1.0, 1e6, -100e3, 200e3, 80e3)
+    blk = blocks.ComplexFilter(1, taps1, use_time=True)
+    taps2 = firdes.complex_band_pass(1.0, 1e6, -50e3, 150e3, 80e3)
+    blk.set_taps2(taps2)
+    assert np.iscomplexobj(blk.taps())
+    np.testing.assert_allclose(blk.taps(), taps2.astype(np.complex64))
