@@ -150,7 +150,7 @@ def fir_direct(x, taps, tile_rows: int = 256, interpret: bool = False):
 
 def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
                       fd_out, xe_out, scratch, fd_acc, xe_acc, sems, *,
-                      tile_rows, halo, w, a, m, baselines):
+                      tile_rows, halo, w, a, m, fd_pairs, xe_pairs):
     """Transpose-free fused flagship kernel (flat layout).
 
     Each component group g (antenna × re/im) is a FLAT [rows, 128] stream
@@ -210,9 +210,9 @@ def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
         fd_acc[:, :] = jnp.zeros_like(fd_acc)
         xe_acc[:, :] = jnp.zeros_like(xe_acc)
 
-    re0, im0 = zs[0]
-    for p in range(1, a):
-        rp, ip = zs[p]
+    for fidx, (pref, psig) in enumerate(fd_pairs):
+        re0, im0 = zs[pref]
+        rp, ip = zs[psig]
         pr = re0 * rp + im0 * ip
         pi = im0 * rp - re0 * ip
         # second-stage (lag) inverse DFT uses the UNREVERSED block matrix —
@@ -226,9 +226,9 @@ def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
                + jnp.dot(pi, matr2_ref[:, :],
                          preferred_element_type=jnp.float32))
         mag = jnp.sum(jnp.sqrt(zfr * zfr + zfi * zfi), axis=0)  # [128]
-        fd_acc[p - 1, :] = fd_acc[p - 1, :] + mag
+        fd_acc[fidx, :] = fd_acc[fidx, :] + mag
 
-    for k, (s1, s2) in enumerate(baselines):
+    for k, (s1, s2) in enumerate(xe_pairs):
         r1, i1 = zs[s1]
         r2, i2 = zs[s2]
         gr = jnp.sum(r1 * r2 + i1 * i2, axis=0)
@@ -243,21 +243,29 @@ def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
 
 
 def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
-                         tile_rows: int = 64, interpret: bool = False):
+                         tile_rows: int = 64, interpret: bool = False,
+                         fd_pairs=None, xe_pairs=None):
     """Transpose-free fused flagship step (flat-layout kernel).
 
     Args:
       comps: [G, n] float32 — this frame's samples, G = 2·A groups
-        (antenna re parts then im parts).  n must be a multiple of
+        (stream re parts then im parts; a "stream" is an antenna, or an
+        antenna×pol pseudo-station for npol=2).  n must be a multiple of
         128·tile_rows.
       hist: [G, W·m − 1] float32 — carried stream history (taps must be
         branch-padded so ntaps == W·m, which _pfb_constants guarantees when
         the prototype is zero-padded to a multiple of m).
       taps_rm: [W, m] float32 — branch-major prototype taps.
+      fd_pairs: (ref, sig) stream pairs for the lag-domain correlator
+        (default: every stream vs stream 0).
+      xe_pairs: (s1, s2) stream pairs for the Gram integration (default:
+        xGPU triangular order over the streams; pass explicit pairs for
+        dual-pol XX/XY/YX/YY products incl. auto-correlation cross-pol).
 
-    Returns (fd_sum [A−1, m] lag-domain magnitude sums — divide by n/m for
-    the mean, fftshift outside — and gram [nb, 2m] re|im in xGPU order).
-    The only HBM-side data movement is one history+frame concat per group.
+    Returns (fd_sum [len(fd_pairs), m] lag-domain magnitude sums — divide
+    by n/m for the mean, fftshift outside — and gram [len(xe_pairs), 2m]
+    re|im).  The only HBM-side data movement is one history+frame concat
+    per group.
     """
     from clenabled_tpu.dsp import xengine as dsp_xengine
 
@@ -297,13 +305,21 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
     mati = jnp.asarray(blockdiag(f1i[::-1, :]))
     matr2 = jnp.asarray(blockdiag(f1r))
     mati2 = jnp.asarray(blockdiag(f1i))
-    baselines = tuple(map(tuple, dsp_xengine.baseline_stations(a)))
-    nb = len(baselines)
-    fd_rows = max(8, a - 1)
+    if xe_pairs is None:
+        xe_pairs = tuple(map(tuple, dsp_xengine.baseline_stations(a)))
+    else:
+        xe_pairs = tuple(map(tuple, xe_pairs))
+    if fd_pairs is None:
+        fd_pairs = tuple((0, p) for p in range(1, a))
+    else:
+        fd_pairs = tuple(map(tuple, fd_pairs))
+    nb = len(xe_pairs)
+    nfd = len(fd_pairs)
+    fd_rows = max(8, nfd)
     xe_rows = max(8, 2 * nb)
     fd, xe = pl.pallas_call(
         partial(_fx_stream_kernel, tile_rows=tile_rows, halo=halo, w=w,
-                a=a, m=m, baselines=baselines),
+                a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs),
         grid=(out_rows // tile_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
@@ -331,7 +347,7 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
         interpret=interpret,
     )(feed, hr2, matr, mati, matr2, mati2)
     # fold the 8 interleaved lane blocks (different output groups)
-    fd_sum = fd[: a - 1].reshape(a - 1, LANES // m, m).sum(axis=1)
+    fd_sum = fd[:nfd].reshape(nfd, LANES // m, m).sum(axis=1)
     xef = xe[: 2 * nb].reshape(nb, 2, LANES // m, m).sum(axis=2)
     gram = jnp.concatenate([xef[:, 0, :], xef[:, 1, :]], axis=-1)
     return fd_sum, gram

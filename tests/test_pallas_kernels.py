@@ -75,3 +75,48 @@ def test_flat_fused_fx_kernel_matches_xla_path():
                                rtol=1e-4, atol=1e-4 * scale)
     np.testing.assert_allclose(xe[:, m:], want_x[..., 0].imag.T,
                                rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_flat_fused_kernel_dual_pol_8_streams():
+    """npol=2 via pseudo-stations: 4 antennas × 2 pols = 8 streams with
+    explicit XX/XY/YX/YY pair lists — matches xengine_correlate_planar."""
+    from clenabled_tpu.dsp import xengine
+
+    s_ant, npol, m = 4, 2, 16
+    nstreams = s_ant * npol
+    fs = 100e6
+    proto = firdes.low_pass(1.0, fs, fs / (2 * m) * 0.8, fs / (2 * m) * 0.2)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, ntaps = channelizer._pfb_constants(proto, m, m)
+    w = taps_rm.shape[0]
+    nout = 256
+    n = nout * m
+    rng = np.random.default_rng(7)
+    comps = rng.standard_normal((2 * nstreams, n)).astype(np.float32)
+    hist = rng.standard_normal((2 * nstreams, w * m - 1)).astype(np.float32)
+
+    # dual-pol xGPU pair list: for each station pair (s1>=s2) the 4 products
+    st = xengine.baseline_stations(s_ant)
+    xe_pairs = []
+    for s1, s2 in st:
+        for p0 in range(npol):
+            for p1 in range(npol):
+                xe_pairs.append((int(s1) * npol + p0, int(s2) * npol + p1))
+    fd, xe = pallas_kernels.fx_correlate_streams(
+        comps, hist, np.asarray(taps_rm), nstreams, m, tile_rows=8,
+        interpret=True, xe_pairs=xe_pairs, fd_pairs=[(0, 2), (0, 4)])
+    xe = np.asarray(xe)
+
+    # reference: channelize each stream, then planar X-Engine with npol=2
+    full = np.concatenate([hist[:, -(ntaps - 1):], comps], axis=-1)
+    acc = channelizer._branch_sums_critical_batched(full, taps_rm, m, ntaps, nout)
+    spec = planar.ifft_unscaled(
+        planar.PC(np.asarray(acc[:nstreams]), np.asarray(acc[nstreams:])))
+    zc = planar.to_complex(spec)                       # [streams, T, m]
+    z4 = zc.reshape(s_ant, npol, nout, m).transpose(2, 0, 3, 1)  # [T,S,F,P]
+    want = planar.to_complex(xengine.xengine_correlate_planar(
+        planar.from_complex(z4), npol=npol))           # [F, nb, 4]
+    got = (xe[:, :m] + 1j * xe[:, m:]).reshape(len(st), npol * npol, m)
+    got = np.transpose(got, (2, 0, 1))                 # [F, nb, 4]
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-4 * np.abs(want).max())
