@@ -148,48 +148,69 @@ def fir_direct(x, taps, tile_rows: int = 256, interpret: bool = False):
     )(xp, taps_k).reshape(n)
 
 
-def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
-                      fd_out, xe_out, scratch, fd_acc, xe_acc, sems, *,
-                      tile_rows, halo, w, a, m, fd_pairs, xe_pairs):
-    """Transpose-free fused flagship kernel (flat layout).
+def _fx_constants(taps_rm, m: int):
+    """Tap lane pattern + stage-1/2 block DFT matrices for the fused
+    flagship kernels (all jnp constants baked into the jitted program).
 
-    Each component group g (antenna × re/im) is a FLAT [rows, 128] stream
-    view — no host packing at all.  A branch shift of c rows in sample
-    space is 16·(w−1−c) samples = a lane roll (multiple of m) + row carry,
-    so the polyphase MACs run as ≤8 lane rolls + w masked MACs per group.
-    Row r then holds 8 interleaved output groups (16 reversed channels
-    each); one [·,128]×[128,128] matmul pair per antenna applies the
-    inverse DFT (reversal folded in), and the FD/X-Engine reductions fold
-    the 8 lane blocks with strided adds.  Everything HBM-side is 128-lane
-    aligned."""
-    i = pl.program_id(0)
-    num = pl.num_programs(0)
+    hr[c, λ] = taps[c·m + (m−1−λ%m)], identical per m-lane block; the
+    stage-1 block DFT has the input reversal folded in
+    (B[jr, k] = F[m−1−jr, k]); stage 2 is the unreversed inverse DFT."""
+    t_np = np.asarray(taps_rm, np.float32)           # [w, m]
+    hr_np = np.tile(t_np[:, ::-1], (1, LANES // m))  # [w, 128]
+    ang = 2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
+    f1r = np.cos(ang).astype(np.float32)
+    f1i = np.sin(ang).astype(np.float32)
+
+    def blockdiag(b):
+        out = np.zeros((LANES, LANES), np.float32)
+        for bi in range(LANES // m):
+            out[bi * m : (bi + 1) * m, bi * m : (bi + 1) * m] = b
+        return out
+
+    return (jnp.asarray(hr_np), jnp.asarray(blockdiag(f1r[::-1, :])),
+            jnp.asarray(blockdiag(f1i[::-1, :])),
+            jnp.asarray(blockdiag(f1r)), jnp.asarray(blockdiag(f1i)))
+
+
+def _fx_tile_math(i, num, read_group, hr_ref, matr_ref, mati_ref, matr2_ref,
+                  mati2_ref, fd_out, xe_out, fd_acc, xe_acc, *, tile_rows,
+                  w, a, m, fd_pairs, xe_pairs):
+    """Shared per-tile math of the fused flagship kernels.
+
+    read_group(gi) must return the [tile_rows + halo, 128] VMEM feed block
+    for component group gi (antenna gi re for gi<a, antenna gi−a im else).
+    A branch shift of c rows in sample space is m·(w−1−c) samples = a lane
+    roll (multiple of m) + row carry, so the polyphase MACs run as ≤128/m
+    lane rolls + w masked MACs per group.  Row r then holds 128/m
+    interleaved output groups (m reversed channels each); one
+    [·,128]×[128,128] matmul pair per antenna applies the inverse DFT
+    (reversal folded in), and the FD/X-Engine reductions fold the lane
+    blocks with strided adds outside the kernel.  i/num are the grid
+    position/size (passed in: pl.program_id may not be called inside a
+    pl.when branch under the CPU interpreter)."""
     g = 2 * a
-    dmas = []
-    for gi in range(g):
-        d = pltpu.make_async_copy(
-            x_hbm.at[gi, pl.ds(i * tile_rows, tile_rows + halo), :],
-            scratch.at[gi], sems.at[gi])
-        d.start()
-        dmas.append(d)
-    for d in dmas:
-        d.wait()
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
 
     def branch_sums(gi):
-        """acc[r, λ] = Σ_c taps[c·m + (m−1−λ%m)] · feed[r·128 + λ + (w−1−c)·16]"""
-        sc = scratch[gi]
+        """acc[r, λ] = Σ_c taps[c·m + (m−1−λ%m)] · feed[r·128 + λ + (w−1−c)·m]
+
+        The lane-wrap row-carry select is hoisted out of the tap loop: per
+        roll amount s, ONE merged array combines the same-row and next-row
+        views, then each tap contributes a plain mul-add."""
+        sc = read_group(gi)
+        rows = sc.shape[0]
+        lane_full = jax.lax.broadcasted_iota(jnp.int32, (rows - 1, LANES), 1)
         acc = jnp.zeros((tile_rows, LANES), jnp.float32)
-        for s in range(0, LANES, m):          # the 8 distinct roll amounts
+        for s in range(0, LANES, m):          # the distinct roll amounts
             rolled = pltpu.roll(sc, LANES - s, 1) if s else sc
-            mask = lane < LANES - s
+            if s:
+                merged = jnp.where(lane_full < LANES - s,
+                                   rolled[:-1, :], rolled[1:, :])
+            else:
+                merged = rolled[:-1, :]
             cs = [c for c in range(w) if ((w - 1 - c) * m) % LANES == s]
             for c in cs:
                 q = ((w - 1 - c) * m) // LANES
-                same = rolled[q : q + tile_rows, :]
-                nxt = rolled[q + 1 : q + 1 + tile_rows, :]
-                acc = acc + hr_ref[c, :] * jnp.where(mask, same, nxt)
+                acc = acc + hr_ref[c, :] * merged[q : q + tile_rows, :]
         return acc
 
     accs = [branch_sums(gi) for gi in range(g)]
@@ -242,6 +263,32 @@ def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
         xe_out[:, :] = xe_acc[:, :]
 
 
+def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
+                      fd_out, xe_out, scratch, fd_acc, xe_acc, sems, *,
+                      tile_rows, halo, w, a, m, fd_pairs, xe_pairs):
+    """Transpose-free fused flagship kernel (flat layout, serial DMA).
+
+    Each component group g (antenna × re/im) is a FLAT [rows, 128] stream
+    view — no host packing at all.  Everything HBM-side is 128-lane
+    aligned."""
+    i = pl.program_id(0)
+    g = 2 * a
+    dmas = []
+    for gi in range(g):
+        d = pltpu.make_async_copy(
+            x_hbm.at[gi, pl.ds(i * tile_rows, tile_rows + halo), :],
+            scratch.at[gi], sems.at[gi])
+        d.start()
+        dmas.append(d)
+    for d in dmas:
+        d.wait()
+
+    _fx_tile_math(i, pl.num_programs(0), lambda gi: scratch[gi], hr_ref,
+                  matr_ref, mati_ref, matr2_ref, mati2_ref, fd_out, xe_out,
+                  fd_acc, xe_acc, tile_rows=tile_rows, w=w, a=a, m=m,
+                  fd_pairs=fd_pairs, xe_pairs=xe_pairs)
+
+
 def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
                          tile_rows: int = 64, interpret: bool = False,
                          fd_pairs=None, xe_pairs=None):
@@ -288,23 +335,7 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
         [hist, comps, jnp.zeros((g, pad), jnp.float32)], axis=-1)
     feed = feed.reshape(g, feed_rows, LANES)
 
-    # taps lane pattern: hr[c, λ] = taps[c·m + (m−1−λ%m)], identical per block
-    t_np = np.asarray(taps_rm, np.float32)          # [w, m]
-    hr_np = np.tile(t_np[:, ::-1], (1, LANES // m))  # [w, 128]
-    hr2 = jnp.asarray(hr_np)
-    # stage-1 block DFT with input reversal folded: B[jr, k] = F[m−1−jr, k]
-    ang = 2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
-    f1r = np.cos(ang).astype(np.float32)
-    f1i = np.sin(ang).astype(np.float32)
-    def blockdiag(b):
-        out = np.zeros((LANES, LANES), np.float32)
-        for bi in range(LANES // m):
-            out[bi * m : (bi + 1) * m, bi * m : (bi + 1) * m] = b
-        return out
-    matr = jnp.asarray(blockdiag(f1r[::-1, :]))
-    mati = jnp.asarray(blockdiag(f1i[::-1, :]))
-    matr2 = jnp.asarray(blockdiag(f1r))
-    mati2 = jnp.asarray(blockdiag(f1i))
+    hr2, matr, mati, matr2, mati2 = _fx_constants(taps_rm, m)
     if xe_pairs is None:
         xe_pairs = tuple(map(tuple, dsp_xengine.baseline_stations(a)))
     else:
@@ -347,6 +378,177 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
         interpret=interpret,
     )(feed, hr2, matr, mati, matr2, mati2)
     # fold the 8 interleaved lane blocks (different output groups)
+    fd_sum = fd[:nfd].reshape(nfd, LANES // m, m).sum(axis=1)
+    xef = xe[: 2 * nb].reshape(nb, 2, LANES // m, m).sum(axis=2)
+    gram = jnp.concatenate([xef[:, 0, :], xef[:, 1, :]], axis=-1)
+    return fd_sum, gram
+
+
+def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, matr_ref,
+                         mati_ref, matr2_ref, mati2_ref, fd_out, xe_out,
+                         scratch, fd_acc, xe_acc, sems, *, tile_rows, halo,
+                         w, a, m, fd_pairs, xe_pairs):
+    """Concat-free fused flagship kernel: reads the frame's re/im component
+    arrays straight from HBM (no host-side packing or history concat) and
+    double-buffers the tile DMAs so tile i+1's HBM reads overlap tile i's
+    compute.  The carried history is a row-aligned halo·128-sample tail
+    (previous frame's last rows), loaded once into VMEM via tr/ti."""
+    i = pl.program_id(0)
+    num = pl.num_programs(0)
+    g = 2 * a
+    slot = jax.lax.rem(i, 2)
+
+    def tile_copies(j, s, first: bool):
+        """DMA descriptors for tile j into scratch slot s.  Tile 0's feed
+        is tail rows (VMEM, copied separately) + frame rows [0, tile);
+        later tiles read frame rows [j·tile − halo, j·tile + tile)."""
+        out = []
+        for gi in range(g):
+            src = xr_hbm if gi < a else xi_hbm
+            row = gi if gi < a else gi - a
+            if first:
+                d = pltpu.make_async_copy(
+                    src.at[row, pl.ds(0, tile_rows), :],
+                    scratch.at[s, gi, pl.ds(halo, tile_rows), :],
+                    sems.at[s, gi])
+            else:
+                d = pltpu.make_async_copy(
+                    src.at[row, pl.ds(j * tile_rows - halo,
+                                      tile_rows + halo), :],
+                    scratch.at[s, gi], sems.at[s, gi])
+            out.append(d)
+        return out
+
+    @pl.when(i == 0)
+    def _():
+        for d in tile_copies(0, 0, first=True):
+            d.start()
+        for gi in range(g):
+            tref = tr_ref if gi < a else ti_ref
+            row = gi if gi < a else gi - a
+            scratch[0, gi, 0:halo, :] = tref[row, :, :]
+
+    @pl.when(i + 1 < num)
+    def _():
+        for d in tile_copies(i + 1, 1 - slot, first=False):
+            d.start()
+
+    @pl.when(i == 0)
+    def _():
+        for d in tile_copies(0, 0, first=True):
+            d.wait()
+
+    @pl.when(i > 0)
+    def _():
+        for d in tile_copies(i, slot, first=False):
+            d.wait()
+
+    # the math is unrolled per slot: dynamic scratch[slot] indexing defeats
+    # Mosaic's vector-load lowering (measured ~1.6× slower); two static
+    # branches keep every VMEM access at a compile-time base address
+    for s in range(2):
+        @pl.when(slot == s)
+        def _(s=s):
+            _fx_tile_math(i, num, lambda gi: scratch[s, gi], hr_ref,
+                          matr_ref, mati_ref, matr2_ref, mati2_ref, fd_out,
+                          xe_out, fd_acc, xe_acc, tile_rows=tile_rows, w=w,
+                          a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs)
+
+
+FX_TAIL_LEN = 8 * LANES  # carried-history samples per stream for the v2 step
+
+
+def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
+                            num_antennas: int, m: int, tile_rows: int = 256,
+                            interpret: bool = False, fd_pairs=None,
+                            xe_pairs=None):
+    """Concat-free fused flagship step (flat-layout kernel, v2).
+
+    Unlike fx_correlate_streams, the frame is NOT host-concatenated with
+    the history: the kernel reads xr/xi directly from HBM (each input
+    sample crosses HBM exactly once, full stop) and the carried state is a
+    row-aligned FX_TAIL_LEN-sample tail of the previous frame.  Outputs
+    therefore lag the frame end by FX_TAIL_LEN samples: step k emits the
+    channelizer/correlator products for stream positions
+    [k·n − FX_TAIL_LEN, (k+1)·n − FX_TAIL_LEN) — a fixed pipeline latency,
+    exactly equivalent to the v1 step on a FX_TAIL_LEN−(W·m−1)-shifted
+    stream (see tests/test_pallas_kernels.py).
+
+    Args:
+      xr, xi: [A, n] float32 — this frame's planar components per stream.
+        n must be a multiple of 128·tile_rows.
+      tail_r, tail_i: [A, FX_TAIL_LEN] float32 — previous frame's last
+        FX_TAIL_LEN samples (zeros for the first step).
+      taps_rm: [W, m] float32 — branch-major prototype taps (W·m = ntaps).
+      fd_pairs / xe_pairs: as in fx_correlate_streams.
+
+    Returns (fd_sum [len(fd_pairs), m], gram [len(xe_pairs), 2m]) — same
+    post-processing contract as fx_correlate_streams.
+    """
+    from clenabled_tpu.dsp import xengine as dsp_xengine
+
+    a = num_antennas
+    g = 2 * a
+    w = taps_rm.shape[0]
+    n = xr.shape[-1]
+    halo = 8
+    if xr.shape != (a, n) or xi.shape != (a, n):
+        raise ValueError(f"expected xr/xi of shape {(a, n)}")
+    if tail_r.shape != (a, FX_TAIL_LEN) or tail_i.shape != (a, FX_TAIL_LEN):
+        raise ValueError(f"tails must be [{a}, {FX_TAIL_LEN}]")
+    if n % (LANES * tile_rows):
+        raise ValueError(
+            f"frame length {n} must be a multiple of {LANES * tile_rows}")
+    if ((w - 1) * m) // LANES + 2 > halo:
+        raise ValueError(f"tap reach (w={w}, m={m}) exceeds the {halo}-row halo")
+    out_rows = n // LANES
+    xr3 = xr.reshape(a, out_rows, LANES)
+    xi3 = xi.reshape(a, out_rows, LANES)
+    tr3 = tail_r.reshape(a, halo, LANES)
+    ti3 = tail_i.reshape(a, halo, LANES)
+
+    hr2, matr, mati, matr2, mati2 = _fx_constants(taps_rm, m)
+    if xe_pairs is None:
+        xe_pairs = tuple(map(tuple, dsp_xengine.baseline_stations(a)))
+    else:
+        xe_pairs = tuple(map(tuple, xe_pairs))
+    if fd_pairs is None:
+        fd_pairs = tuple((0, p) for p in range(1, a))
+    else:
+        fd_pairs = tuple(map(tuple, fd_pairs))
+    nb = len(xe_pairs)
+    nfd = len(fd_pairs)
+    fd_rows = max(8, nfd)
+    xe_rows = max(8, 2 * nb)
+    fd, xe = pl.pallas_call(
+        partial(_fx_stream_kernel_v2, tile_rows=tile_rows, halo=halo, w=w,
+                a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs),
+        grid=(out_rows // tile_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=(
+            pl.BlockSpec((fd_rows, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((xe_rows, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((fd_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((xe_rows, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, g, tile_rows + halo, LANES), jnp.float32),
+            pltpu.VMEM((fd_rows, LANES), jnp.float32),
+            pltpu.VMEM((xe_rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, g)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * g * (w + 2 * m),
+            bytes_accessed=4 * (g * n + 2 * a * FX_TAIL_LEN),
+            transcendentals=n * max(1, nfd),
+        ),
+        interpret=interpret,
+    )(xr3, xi3, tr3, ti3, hr2, matr, mati, matr2, mati2)
     fd_sum = fd[:nfd].reshape(nfd, LANES // m, m).sum(axis=1)
     xef = xe[: 2 * nb].reshape(nb, 2, LANES // m, m).sum(axis=2)
     gram = jnp.concatenate([xef[:, 0, :], xef[:, 1, :]], axis=-1)

@@ -146,9 +146,12 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
                            samp_rate: float = 100e6):
     """Maximally fused flagship: ONE flat-layout Pallas kernel does PFB →
     DFT → FD-xcorr accumulation → X-Engine Gram accumulation without ever
-    materializing spectra in HBM (dsp.pallas_kernels.fx_correlate_streams);
-    each input sample is read from HBM exactly once.  Same outputs as
-    make_fx_pipeline_planar.  TPU-only (interpret mode covers testing)."""
+    materializing spectra in HBM (pallas_kernels.fx_correlate_streams_v2);
+    the kernel reads xr/xi straight from HBM (no host-side concat at all)
+    with double-buffered tile DMA, so each input sample crosses HBM exactly
+    once.  Outputs equal make_fx_pipeline_planar's on a stream delayed by
+    FX_TAIL_LEN − (ntaps−1) samples (fixed pipeline latency; see
+    fx_correlate_streams_v2).  TPU-only (interpret mode covers testing)."""
     from clenabled_tpu.dsp import pallas_kernels
 
     a = cfg.num_antennas
@@ -158,30 +161,27 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
     proto = np.concatenate(
         [proto, np.zeros((-len(proto)) % m, np.float32)])
     taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
-    w = taps_rm.shape[0]
     n = cfg.samples_per_step
     nout = n // m
-    tile_rows = 128
+    tile_rows = 256
     while (n // 128) % tile_rows:
         tile_rows //= 2
-    hlen = w * m - 1  # carried stream history per component group
+    big_h = pallas_kernels.FX_TAIL_LEN  # carried tail per stream
 
     @jax.jit
-    def fn(xr, xi, hr, hi):
-        comps = jnp.concatenate([xr, xi], axis=0)        # [2A, n]
-        hist = jnp.concatenate([hr, hi], axis=0)         # [2A, hlen]
-        fd_sum, gram = pallas_kernels.fx_correlate_streams(
-            comps, hist, taps_rm, a, m, tile_rows=tile_rows)
+    def fn(xr, xi, tr, ti):
+        fd_sum, gram = pallas_kernels.fx_correlate_streams_v2(
+            xr, xi, tr, ti, taps_rm, a, m, tile_rows=tile_rows)
         fd = jnp.roll(fd_sum / nout, m // 2, axis=-1)    # [A-1, M]
         xre = gram[:, :m].T[:, :, None]                  # [F, nb, 1]
         xim = gram[:, m:].T[:, :, None]
-        new_hr = xr[:, n - hlen:]
-        new_hi = xi[:, n - hlen:]
-        return fd, xre, xim, new_hr, new_hi
+        new_tr = xr[:, n - big_h:]
+        new_ti = xi[:, n - big_h:]
+        return fd, xre, xim, new_tr, new_ti
 
     x = jnp.zeros((a, n), jnp.float32)
-    hist = jnp.zeros((a, hlen), jnp.float32)
-    return fn, (x, x, hist, hist)
+    tail = jnp.zeros((a, big_h), jnp.float32)
+    return fn, (x, x, tail, tail)
 
 
 def make_sharded_fx_pipeline(mesh: Mesh, axis: str = "shard",

@@ -77,6 +77,79 @@ def test_flat_fused_fx_kernel_matches_xla_path():
                                rtol=1e-4, atol=1e-4 * scale)
 
 
+def test_fx_v2_matches_v1_on_shifted_stream():
+    """fx_correlate_streams_v2 (concat-free, double-buffered DMA, row-aligned
+    tail) must equal v1 run on the same virtual stream: v2's feed is
+    tail(FX_TAIL_LEN) ++ frame, v1's is hist(W·m−1) ++ frame', so v1 with
+    hist' = tail[:hlen] and frame' = tail[hlen:] ++ frame[:n−(H−hlen)]
+    consumes the identical sample stream."""
+    a, m = 4, 16
+    fs = 100e6
+    proto = firdes.low_pass(1.0, fs, fs / (2 * m) * 0.8, fs / (2 * m) * 0.2)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, ntaps = channelizer._pfb_constants(proto, m, m)
+    w = taps_rm.shape[0]
+    hlen = w * m - 1
+    big_h = pallas_kernels.FX_TAIL_LEN
+    n = 512 * m                      # multiple of 128·tile_rows (tile_rows=8)
+    rng = np.random.default_rng(11)
+    xr = rng.standard_normal((a, n)).astype(np.float32)
+    xi = rng.standard_normal((a, n)).astype(np.float32)
+    tr = rng.standard_normal((a, big_h)).astype(np.float32)
+    ti = rng.standard_normal((a, big_h)).astype(np.float32)
+
+    fd2, xe2 = pallas_kernels.fx_correlate_streams_v2(
+        xr, xi, tr, ti, np.asarray(taps_rm), a, m, tile_rows=8,
+        interpret=True)
+
+    vfeed = np.concatenate(
+        [np.concatenate([tr, ti], axis=0),
+         np.concatenate([xr, xi], axis=0)], axis=-1)   # [2A, H + n]
+    hist1 = vfeed[:, :hlen]
+    comps1 = vfeed[:, hlen : hlen + n]
+    fd1, xe1 = pallas_kernels.fx_correlate_streams(
+        comps1, hist1, np.asarray(taps_rm), a, m, tile_rows=8,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(fd2), np.asarray(fd1), rtol=1e-5,
+                               atol=1e-5 * np.abs(np.asarray(fd1)).max())
+    np.testing.assert_allclose(np.asarray(xe2), np.asarray(xe1), rtol=1e-5,
+                               atol=1e-5 * np.abs(np.asarray(xe1)).max())
+
+
+def test_fx_v2_pair_lists():
+    """v2 honors explicit fd/xe pair lists (dual-pol pseudo-stations)."""
+    nstreams, m = 4, 16
+    fs = 100e6
+    proto = firdes.low_pass(1.0, fs, fs / (2 * m) * 0.8, fs / (2 * m) * 0.2)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, _ = channelizer._pfb_constants(proto, m, m)
+    big_h = pallas_kernels.FX_TAIL_LEN
+    n = 256 * m
+    rng = np.random.default_rng(3)
+    xr = rng.standard_normal((nstreams, n)).astype(np.float32)
+    xi = rng.standard_normal((nstreams, n)).astype(np.float32)
+    tr = rng.standard_normal((nstreams, big_h)).astype(np.float32)
+    ti = rng.standard_normal((nstreams, big_h)).astype(np.float32)
+    pairs = [(0, 1), (2, 3), (1, 1)]
+    fd2, xe2 = pallas_kernels.fx_correlate_streams_v2(
+        xr, xi, tr, ti, np.asarray(taps_rm), nstreams, m, tile_rows=8,
+        interpret=True, fd_pairs=[(0, 3)], xe_pairs=pairs)
+    hlen = taps_rm.shape[0] * m - 1
+    vfeed = np.concatenate(
+        [np.concatenate([tr, ti], axis=0),
+         np.concatenate([xr, xi], axis=0)], axis=-1)
+    fd1, xe1 = pallas_kernels.fx_correlate_streams(
+        vfeed[:, hlen : hlen + n], vfeed[:, :hlen], np.asarray(taps_rm),
+        nstreams, m, tile_rows=8, interpret=True, fd_pairs=[(0, 3)],
+        xe_pairs=pairs)
+    assert np.asarray(fd2).shape == (1, m)
+    assert np.asarray(xe2).shape == (len(pairs), 2 * m)
+    np.testing.assert_allclose(np.asarray(fd2), np.asarray(fd1), rtol=1e-5,
+                               atol=1e-5 * np.abs(np.asarray(fd1)).max())
+    np.testing.assert_allclose(np.asarray(xe2), np.asarray(xe1), rtol=1e-5,
+                               atol=1e-5 * np.abs(np.asarray(xe1)).max())
+
+
 def test_flat_fused_kernel_dual_pol_8_streams():
     """npol=2 via pseudo-stations: 4 antennas × 2 pols = 8 streams with
     explicit XX/XY/YX/YY pair lists — matches xengine_correlate_planar."""
