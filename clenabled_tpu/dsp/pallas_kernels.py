@@ -154,7 +154,12 @@ def _fx_constants(taps_rm, m: int):
 
     hr[c, λ] = taps[c·m + (m−1−λ%m)], identical per m-lane block; the
     stage-1 block DFT has the input reversal folded in
-    (B[jr, k] = F[m−1−jr, k]); stage 2 is the unreversed inverse DFT."""
+    (B[jr, k] = F[m−1−jr, k]); stage 2 is the unreversed inverse DFT.
+
+    The complex matmul z = (aR + j·aI)·(Fr + j·Fi) is emitted in the
+    3-multiplication (Karatsuba) form — p1 = (aR+aI)·Fr, p2 = aI·(Fr+Fi),
+    p3 = aR·(Fi−Fr), zr = p1−p2, zi = p1+p3 — so each stage returns
+    (Fr, Fr+Fi, Fi−Fr) rather than (Fr, Fi): 25%% less MXU work."""
     t_np = np.asarray(taps_rm, np.float32)           # [w, m]
     hr_np = np.tile(t_np[:, ::-1], (1, LANES // m))  # [w, 128]
     ang = 2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
@@ -167,14 +172,17 @@ def _fx_constants(taps_rm, m: int):
             out[bi * m : (bi + 1) * m, bi * m : (bi + 1) * m] = b
         return out
 
-    return (jnp.asarray(hr_np), jnp.asarray(blockdiag(f1r[::-1, :])),
-            jnp.asarray(blockdiag(f1i[::-1, :])),
-            jnp.asarray(blockdiag(f1r)), jnp.asarray(blockdiag(f1i)))
+    def karat(fr, fi):
+        return (jnp.asarray(blockdiag(fr)), jnp.asarray(blockdiag(fr + fi)),
+                jnp.asarray(blockdiag(fi - fr)))
+
+    return ((jnp.asarray(hr_np),) + karat(f1r[::-1, :], f1i[::-1, :])
+            + karat(f1r, f1i))
 
 
-def _fx_tile_math(i, num, read_group, hr_ref, matr_ref, mati_ref, matr2_ref,
-                  mati2_ref, fd_out, xe_out, fd_acc, xe_acc, *, tile_rows,
-                  w, a, m, fd_pairs, xe_pairs):
+def _fx_tile_math(i, num, read_group, hr_ref, m1_ref, m2_ref, m3_ref,
+                  n1_ref, n2_ref, n3_ref, fd_out, xe_out, fd_acc, xe_acc, *,
+                  tile_rows, w, a, m, fd_pairs, xe_pairs, karatsuba=False):
     """Shared per-tile math of the fused flagship kernels.
 
     read_group(gi) must return the [tile_rows + halo, 128] VMEM feed block
@@ -182,9 +190,10 @@ def _fx_tile_math(i, num, read_group, hr_ref, matr_ref, mati_ref, matr2_ref,
     A branch shift of c rows in sample space is m·(w−1−c) samples = a lane
     roll (multiple of m) + row carry, so the polyphase MACs run as ≤128/m
     lane rolls + w masked MACs per group.  Row r then holds 128/m
-    interleaved output groups (m reversed channels each); one
-    [·,128]×[128,128] matmul pair per antenna applies the inverse DFT
-    (reversal folded in), and the FD/X-Engine reductions fold the lane
+    interleaved output groups (m reversed channels each); three
+    [·,128]×[128,128] Karatsuba matmuls per antenna apply the inverse DFT
+    (reversal folded in; m1/m2/m3 = Fr, Fr+Fi, Fi−Fr and n1/n2/n3 the
+    stage-2 equivalents), and the FD/X-Engine reductions fold the lane
     blocks with strided adds outside the kernel.  i/num are the grid
     position/size (passed in: pl.program_id may not be called inside a
     pl.when branch under the CPU interpreter)."""
@@ -197,6 +206,8 @@ def _fx_tile_math(i, num, read_group, hr_ref, matr_ref, mati_ref, matr2_ref,
         roll amount s, ONE merged array combines the same-row and next-row
         views, then each tap contributes a plain mul-add."""
         sc = read_group(gi)
+        if sc.dtype != jnp.float32:
+            sc = sc.astype(jnp.float32)
         rows = sc.shape[0]
         lane_full = jax.lax.broadcasted_iota(jnp.int32, (rows - 1, LANES), 1)
         acc = jnp.zeros((tile_rows, LANES), jnp.float32)
@@ -214,17 +225,31 @@ def _fx_tile_math(i, num, read_group, hr_ref, matr_ref, mati_ref, matr2_ref,
         return acc
 
     accs = [branch_sums(gi) for gi in range(g)]
+    if not karatsuba:
+        # reconstruct Fi = ((Fr+Fi) − Fr) once per tile — the 4-mult form
+        # pipelines better on the MXU than Karatsuba here (measured)
+        fi1 = m2_ref[:, :] - m1_ref[:, :]
+        fi2 = n2_ref[:, :] - n1_ref[:, :]
     zs = []
     for ai in range(a):
-        zr = (jnp.dot(accs[ai], matr_ref[:, :],
-                      preferred_element_type=jnp.float32)
-              - jnp.dot(accs[a + ai], mati_ref[:, :],
-                        preferred_element_type=jnp.float32))
-        zi = (jnp.dot(accs[ai], mati_ref[:, :],
-                      preferred_element_type=jnp.float32)
-              + jnp.dot(accs[a + ai], matr_ref[:, :],
-                        preferred_element_type=jnp.float32))
-        zs.append((zr, zi))
+        if karatsuba:
+            p1 = jnp.dot(accs[ai] + accs[a + ai], m1_ref[:, :],
+                         preferred_element_type=jnp.float32)
+            p2 = jnp.dot(accs[a + ai], m2_ref[:, :],
+                         preferred_element_type=jnp.float32)
+            p3 = jnp.dot(accs[ai], m3_ref[:, :],
+                         preferred_element_type=jnp.float32)
+            zs.append((p1 - p2, p1 + p3))
+        else:
+            zr = (jnp.dot(accs[ai], m1_ref[:, :],
+                          preferred_element_type=jnp.float32)
+                  - jnp.dot(accs[a + ai], fi1,
+                            preferred_element_type=jnp.float32))
+            zi = (jnp.dot(accs[ai], fi1,
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(accs[a + ai], m1_ref[:, :],
+                            preferred_element_type=jnp.float32))
+            zs.append((zr, zi))
 
     @pl.when(i == 0)
     def _():
@@ -238,14 +263,22 @@ def _fx_tile_math(i, num, read_group, hr_ref, matr_ref, mati_ref, matr2_ref,
         pi = im0 * rp - re0 * ip
         # second-stage (lag) inverse DFT uses the UNREVERSED block matrix —
         # spectra are already in normal channel order
-        zfr = (jnp.dot(pr, matr2_ref[:, :],
-                       preferred_element_type=jnp.float32)
-               - jnp.dot(pi, mati2_ref[:, :],
-                         preferred_element_type=jnp.float32))
-        zfi = (jnp.dot(pr, mati2_ref[:, :],
-                       preferred_element_type=jnp.float32)
-               + jnp.dot(pi, matr2_ref[:, :],
-                         preferred_element_type=jnp.float32))
+        if karatsuba:
+            q1 = jnp.dot(pr + pi, n1_ref[:, :],
+                         preferred_element_type=jnp.float32)
+            q2 = jnp.dot(pi, n2_ref[:, :],
+                         preferred_element_type=jnp.float32)
+            q3 = jnp.dot(pr, n3_ref[:, :],
+                         preferred_element_type=jnp.float32)
+            zfr = q1 - q2
+            zfi = q1 + q3
+        else:
+            zfr = (jnp.dot(pr, n1_ref[:, :],
+                           preferred_element_type=jnp.float32)
+                   - jnp.dot(pi, fi2, preferred_element_type=jnp.float32))
+            zfi = (jnp.dot(pr, fi2, preferred_element_type=jnp.float32)
+                   + jnp.dot(pi, n1_ref[:, :],
+                             preferred_element_type=jnp.float32))
         mag = jnp.sum(jnp.sqrt(zfr * zfr + zfi * zfi), axis=0)  # [128]
         fd_acc[fidx, :] = fd_acc[fidx, :] + mag
 
@@ -263,9 +296,10 @@ def _fx_tile_math(i, num, read_group, hr_ref, matr_ref, mati_ref, matr2_ref,
         xe_out[:, :] = xe_acc[:, :]
 
 
-def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
-                      fd_out, xe_out, scratch, fd_acc, xe_acc, sems, *,
-                      tile_rows, halo, w, a, m, fd_pairs, xe_pairs):
+def _fx_stream_kernel(x_hbm, hr_ref, m1_ref, m2_ref, m3_ref, n1_ref,
+                      n2_ref, n3_ref, fd_out, xe_out, scratch, fd_acc,
+                      xe_acc, sems, *, tile_rows, halo, w, a, m, fd_pairs,
+                      xe_pairs):
     """Transpose-free fused flagship kernel (flat layout, serial DMA).
 
     Each component group g (antenna × re/im) is a FLAT [rows, 128] stream
@@ -284,9 +318,9 @@ def _fx_stream_kernel(x_hbm, hr_ref, matr_ref, mati_ref, matr2_ref, mati2_ref,
         d.wait()
 
     _fx_tile_math(i, pl.num_programs(0), lambda gi: scratch[gi], hr_ref,
-                  matr_ref, mati_ref, matr2_ref, mati2_ref, fd_out, xe_out,
-                  fd_acc, xe_acc, tile_rows=tile_rows, w=w, a=a, m=m,
-                  fd_pairs=fd_pairs, xe_pairs=xe_pairs)
+                  m1_ref, m2_ref, m3_ref, n1_ref, n2_ref, n3_ref, fd_out,
+                  xe_out, fd_acc, xe_acc, tile_rows=tile_rows, w=w, a=a,
+                  m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs)
 
 
 def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
@@ -335,7 +369,7 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
         [hist, comps, jnp.zeros((g, pad), jnp.float32)], axis=-1)
     feed = feed.reshape(g, feed_rows, LANES)
 
-    hr2, matr, mati, matr2, mati2 = _fx_constants(taps_rm, m)
+    consts = _fx_constants(taps_rm, m)
     if xe_pairs is None:
         xe_pairs = tuple(map(tuple, dsp_xengine.baseline_stations(a)))
     else:
@@ -353,7 +387,7 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
                 a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs),
         grid=(out_rows // tile_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=(
             pl.BlockSpec((fd_rows, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -376,7 +410,7 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
             transcendentals=n * (a - 1),
         ),
         interpret=interpret,
-    )(feed, hr2, matr, mati, matr2, mati2)
+    )(feed, *consts)
     # fold the 8 interleaved lane blocks (different output groups)
     fd_sum = fd[:nfd].reshape(nfd, LANES // m, m).sum(axis=1)
     xef = xe[: 2 * nb].reshape(nb, 2, LANES // m, m).sum(axis=2)
@@ -384,45 +418,46 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
     return fd_sum, gram
 
 
-def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, matr_ref,
-                         mati_ref, matr2_ref, mati2_ref, fd_out, xe_out,
-                         scratch, fd_acc, xe_acc, sems, *, tile_rows, halo,
-                         w, a, m, fd_pairs, xe_pairs):
+def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
+                         m2_ref, m3_ref, n1_ref, n2_ref, n3_ref, fd_out,
+                         xe_out, scratch, fd_acc, xe_acc, sems, *, tile_rows,
+                         halo, w, a, m, fd_pairs, xe_pairs, karatsuba=False):
     """Concat-free fused flagship kernel: reads the frame's re/im component
     arrays straight from HBM (no host-side packing or history concat) and
     double-buffers the tile DMAs so tile i+1's HBM reads overlap tile i's
     compute.  The carried history is a row-aligned halo·128-sample tail
-    (previous frame's last rows), loaded once into VMEM via tr/ti."""
+    (previous frame's last rows), loaded once into VMEM via tr/ti.
+    xr/xi may be float32, bfloat16, or int8 (the reference's IChar mode,
+    lib/clXEngine_impl.cc:831-858): the DMA moves the narrow dtype and the
+    VPU widens to f32 after the copy, halving/quartering HBM traffic."""
     i = pl.program_id(0)
     num = pl.num_programs(0)
     g = 2 * a
     slot = jax.lax.rem(i, 2)
 
-    def tile_copies(j, s, first: bool):
-        """DMA descriptors for tile j into scratch slot s.  Tile 0's feed
-        is tail rows (VMEM, copied separately) + frame rows [0, tile);
-        later tiles read frame rows [j·tile − halo, j·tile + tile)."""
-        out = []
-        for gi in range(g):
-            src = xr_hbm if gi < a else xi_hbm
-            row = gi if gi < a else gi - a
-            if first:
-                d = pltpu.make_async_copy(
-                    src.at[row, pl.ds(0, tile_rows), :],
-                    scratch.at[s, gi, pl.ds(halo, tile_rows), :],
-                    sems.at[s, gi])
-            else:
-                d = pltpu.make_async_copy(
-                    src.at[row, pl.ds(j * tile_rows - halo,
-                                      tile_rows + halo), :],
-                    scratch.at[s, gi], sems.at[s, gi])
-            out.append(d)
-        return out
+    def tile_copy(gi, j, s, first: bool):
+        """DMA descriptor for group gi of tile j into scratch slot s.
+        Tile 0's feed is tail rows (VMEM, copied separately) + frame rows
+        [0, tile); later tiles read frame rows [j·tile − halo, j·tile +
+        tile)."""
+        src = xr_hbm if gi < a else xi_hbm
+        row = gi if gi < a else gi - a
+        if first:
+            return pltpu.make_async_copy(
+                src.at[row, pl.ds(0, tile_rows), :],
+                scratch.at[s, gi, pl.ds(halo, tile_rows), :],
+                sems.at[s, gi])
+        # halo divides tile_rows, so the start is halo-aligned — the hint
+        # lets Mosaic prove sublane-tile divisibility for bf16/int8 sources
+        start = pl.multiple_of(j * tile_rows - halo, halo)
+        return pltpu.make_async_copy(
+            src.at[row, pl.ds(start, tile_rows + halo), :],
+            scratch.at[s, gi], sems.at[s, gi])
 
     @pl.when(i == 0)
     def _():
-        for d in tile_copies(0, 0, first=True):
-            d.start()
+        for gi in range(g):
+            tile_copy(gi, 0, 0, first=True).start()
         for gi in range(g):
             tref = tr_ref if gi < a else ti_ref
             row = gi if gi < a else gi - a
@@ -430,55 +465,76 @@ def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, matr_ref,
 
     @pl.when(i + 1 < num)
     def _():
-        for d in tile_copies(i + 1, 1 - slot, first=False):
-            d.start()
+        for gi in range(g):
+            tile_copy(gi, i + 1, 1 - slot, first=False).start()
 
+    # batch waits up front (per-group waits interleaved with the MACs
+    # measured ~0.2 ms SLOWER — they fence Mosaic's load scheduling)
     @pl.when(i == 0)
     def _():
-        for d in tile_copies(0, 0, first=True):
-            d.wait()
+        for gi in range(g):
+            tile_copy(gi, 0, 0, first=True).wait()
 
     @pl.when(i > 0)
     def _():
-        for d in tile_copies(i, slot, first=False):
-            d.wait()
+        for gi in range(g):
+            tile_copy(gi, i, slot, first=False).wait()
 
     # the math is unrolled per slot: dynamic scratch[slot] indexing defeats
     # Mosaic's vector-load lowering (measured ~1.6× slower); two static
     # branches keep every VMEM access at a compile-time base address
+    def make_read(s):
+        return lambda gi: scratch[s, gi]
+
     for s in range(2):
         @pl.when(slot == s)
         def _(s=s):
-            _fx_tile_math(i, num, lambda gi: scratch[s, gi], hr_ref,
-                          matr_ref, mati_ref, matr2_ref, mati2_ref, fd_out,
-                          xe_out, fd_acc, xe_acc, tile_rows=tile_rows, w=w,
-                          a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs)
+            _fx_tile_math(i, num, make_read(s), hr_ref, m1_ref, m2_ref,
+                          m3_ref, n1_ref, n2_ref, n3_ref, fd_out, xe_out,
+                          fd_acc, xe_acc, tile_rows=tile_rows, w=w, a=a,
+                          m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs,
+                          karatsuba=karatsuba)
 
 
-FX_TAIL_LEN = 8 * LANES  # carried-history samples per stream for the v2 step
+FX_TAIL_LEN = 8 * LANES  # carried-history samples per stream (float32)
+
+_HALO_ROWS = {"float32": 8, "bfloat16": 16, "int8": 32}
+
+
+def fx_tail_len(dtype) -> int:
+    """Carried-tail samples per stream for fx_correlate_streams_v2 with the
+    given input dtype.  The halo row count is the dtype's VMEM sublane tile
+    (f32 8, bf16 16, i8 32) so every DMA slice stays tile-aligned."""
+    name = jnp.dtype(dtype).name
+    if name not in _HALO_ROWS:
+        raise ValueError(f"unsupported input dtype {name}; "
+                         f"use float32/bfloat16/int8")
+    return _HALO_ROWS[name] * LANES
 
 
 def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
                             num_antennas: int, m: int, tile_rows: int = 256,
                             interpret: bool = False, fd_pairs=None,
-                            xe_pairs=None):
+                            xe_pairs=None, karatsuba: bool = False):
     """Concat-free fused flagship step (flat-layout kernel, v2).
 
     Unlike fx_correlate_streams, the frame is NOT host-concatenated with
     the history: the kernel reads xr/xi directly from HBM (each input
     sample crosses HBM exactly once, full stop) and the carried state is a
-    row-aligned FX_TAIL_LEN-sample tail of the previous frame.  Outputs
-    therefore lag the frame end by FX_TAIL_LEN samples: step k emits the
-    channelizer/correlator products for stream positions
-    [k·n − FX_TAIL_LEN, (k+1)·n − FX_TAIL_LEN) — a fixed pipeline latency,
-    exactly equivalent to the v1 step on a FX_TAIL_LEN−(W·m−1)-shifted
-    stream (see tests/test_pallas_kernels.py).
+    row-aligned fx_tail_len(dtype)-sample tail of the previous frame.
+    Outputs therefore lag the frame end by H = fx_tail_len(dtype) samples:
+    step k emits the channelizer/correlator products for stream positions
+    [k·n − H, (k+1)·n − H) — a fixed pipeline latency, exactly equivalent
+    to the v1 step on an H−(W·m−1)-shifted stream (see
+    tests/test_pallas_kernels.py).
 
     Args:
-      xr, xi: [A, n] float32 — this frame's planar components per stream.
+      xr, xi: [A, n] float32, bfloat16, or int8 — this frame's planar
+        components per stream (int8 = the reference's IChar sample format,
+        used raw: outputs scale by the square of the quantization step).
         n must be a multiple of 128·tile_rows.
-      tail_r, tail_i: [A, FX_TAIL_LEN] float32 — previous frame's last
-        FX_TAIL_LEN samples (zeros for the first step).
+      tail_r, tail_i: [A, fx_tail_len(dtype)] in the same dtype — previous
+        frame's last samples (zeros for the first step).
       taps_rm: [W, m] float32 — branch-major prototype taps (W·m = ntaps).
       fd_pairs / xe_pairs: as in fx_correlate_streams.
 
@@ -491,23 +547,33 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
     g = 2 * a
     w = taps_rm.shape[0]
     n = xr.shape[-1]
-    halo = 8
+    tail_len = fx_tail_len(xr.dtype)
+    halo = tail_len // LANES
     if xr.shape != (a, n) or xi.shape != (a, n):
         raise ValueError(f"expected xr/xi of shape {(a, n)}")
-    if tail_r.shape != (a, FX_TAIL_LEN) or tail_i.shape != (a, FX_TAIL_LEN):
-        raise ValueError(f"tails must be [{a}, {FX_TAIL_LEN}]")
+    if xi.dtype != xr.dtype:
+        raise ValueError("xr/xi dtypes must match")
+    if tail_r.shape != (a, tail_len) or tail_i.shape != (a, tail_len):
+        raise ValueError(
+            f"tails must be [{a}, {tail_len}] for dtype {xr.dtype}")
+    if tail_r.dtype != xr.dtype or tail_i.dtype != xr.dtype:
+        raise ValueError("tail dtypes must match the frame dtype")
     if n % (LANES * tile_rows):
         raise ValueError(
             f"frame length {n} must be a multiple of {LANES * tile_rows}")
     if ((w - 1) * m) // LANES + 2 > halo:
         raise ValueError(f"tap reach (w={w}, m={m}) exceeds the {halo}-row halo")
+    if tile_rows < halo:
+        raise ValueError(
+            f"tile_rows ({tile_rows}) must be >= the {halo}-row halo "
+            f"(tile 1 reads frame rows [tile_rows - halo, ...))")
     out_rows = n // LANES
     xr3 = xr.reshape(a, out_rows, LANES)
     xi3 = xi.reshape(a, out_rows, LANES)
     tr3 = tail_r.reshape(a, halo, LANES)
     ti3 = tail_i.reshape(a, halo, LANES)
 
-    hr2, matr, mati, matr2, mati2 = _fx_constants(taps_rm, m)
+    consts = _fx_constants(taps_rm, m)
     if xe_pairs is None:
         xe_pairs = tuple(map(tuple, dsp_xengine.baseline_stations(a)))
     else:
@@ -522,10 +588,11 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
     xe_rows = max(8, 2 * nb)
     fd, xe = pl.pallas_call(
         partial(_fx_stream_kernel_v2, tile_rows=tile_rows, halo=halo, w=w,
-                a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs),
+                a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs,
+                karatsuba=karatsuba),
         grid=(out_rows // tile_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
         out_specs=(
             pl.BlockSpec((fd_rows, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -537,18 +604,18 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
             jax.ShapeDtypeStruct((xe_rows, LANES), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, g, tile_rows + halo, LANES), jnp.float32),
+            pltpu.VMEM((2, g, tile_rows + halo, LANES), xr.dtype),
             pltpu.VMEM((fd_rows, LANES), jnp.float32),
             pltpu.VMEM((xe_rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, g)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * g * (w + 2 * m),
-            bytes_accessed=4 * (g * n + 2 * a * FX_TAIL_LEN),
+            bytes_accessed=jnp.dtype(xr.dtype).itemsize * g * n,
             transcendentals=n * max(1, nfd),
         ),
         interpret=interpret,
-    )(xr3, xi3, tr3, ti3, hr2, matr, mati, matr2, mati2)
+    )(xr3, xi3, tr3, ti3, *consts)
     fd_sum = fd[:nfd].reshape(nfd, LANES // m, m).sum(axis=1)
     xef = xe[: 2 * nb].reshape(nb, 2, LANES // m, m).sum(axis=2)
     gram = jnp.concatenate([xef[:, 0, :], xef[:, 1, :]], axis=-1)

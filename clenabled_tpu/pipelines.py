@@ -143,15 +143,19 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
 
 
 def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
-                           samp_rate: float = 100e6):
+                           samp_rate: float = 100e6,
+                           in_dtype=jnp.float32):
     """Maximally fused flagship: ONE flat-layout Pallas kernel does PFB →
     DFT → FD-xcorr accumulation → X-Engine Gram accumulation without ever
     materializing spectra in HBM (pallas_kernels.fx_correlate_streams_v2);
     the kernel reads xr/xi straight from HBM (no host-side concat at all)
     with double-buffered tile DMA, so each input sample crosses HBM exactly
     once.  Outputs equal make_fx_pipeline_planar's on a stream delayed by
-    FX_TAIL_LEN − (ntaps−1) samples (fixed pipeline latency; see
-    fx_correlate_streams_v2).  TPU-only (interpret mode covers testing)."""
+    fx_tail_len(in_dtype) − (ntaps−1) samples (fixed pipeline latency; see
+    fx_correlate_streams_v2).  in_dtype may be float32, bfloat16, or int8
+    (the reference's IChar ingest, lib/clXEngine_impl.cc:831-858) — narrow
+    ingest halves/quarters the HBM traffic, which is this kernel's
+    bottleneck.  TPU-only (interpret mode covers testing)."""
     from clenabled_tpu.dsp import pallas_kernels
 
     a = cfg.num_antennas
@@ -163,10 +167,12 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
     taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
     n = cfg.samples_per_step
     nout = n // m
+    big_h = pallas_kernels.fx_tail_len(in_dtype)  # carried tail per stream
     tile_rows = 256
     while (n // 128) % tile_rows:
         tile_rows //= 2
-    big_h = pallas_kernels.FX_TAIL_LEN  # carried tail per stream
+    if tile_rows < big_h // 128:
+        raise ValueError("samples_per_step too small for the ingest dtype")
 
     @jax.jit
     def fn(xr, xi, tr, ti):
@@ -179,8 +185,8 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
         new_ti = xi[:, n - big_h:]
         return fd, xre, xim, new_tr, new_ti
 
-    x = jnp.zeros((a, n), jnp.float32)
-    tail = jnp.zeros((a, big_h), jnp.float32)
+    x = jnp.zeros((a, n), in_dtype)
+    tail = jnp.zeros((a, big_h), in_dtype)
     return fn, (x, x, tail, tail)
 
 

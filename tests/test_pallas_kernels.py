@@ -150,6 +150,55 @@ def test_fx_v2_pair_lists():
                                atol=1e-5 * np.abs(np.asarray(xe1)).max())
 
 
+def test_fx_v2_narrow_ingest_dtypes():
+    """bf16/int8 ingest (the reference's IChar sample path,
+    lib/clXEngine_impl.cc:831-858) must match the f32 kernel exactly when
+    the sample values are exactly representable in the narrow dtype."""
+    import jax.numpy as jnp
+
+    a, m = 2, 16
+    fs = 100e6
+    proto = firdes.low_pass(1.0, fs, fs / (2 * m) * 0.8, fs / (2 * m) * 0.2)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, _ = channelizer._pfb_constants(proto, m, m)
+    n = 512 * m
+    rng = np.random.default_rng(9)
+
+    for dt in (jnp.int8, jnp.bfloat16):
+        tail_len = pallas_kernels.fx_tail_len(dt)
+        tile = tail_len // 128  # tile_rows must be >= the dtype's halo
+        if dt == jnp.int8:
+            xr_n = rng.integers(-127, 128, (a, n)).astype(np.int8)
+            xi_n = rng.integers(-127, 128, (a, n)).astype(np.int8)
+            tr_n = rng.integers(-127, 128, (a, tail_len)).astype(np.int8)
+            ti_n = rng.integers(-127, 128, (a, tail_len)).astype(np.int8)
+        else:
+            mk = lambda shape: np.asarray(
+                rng.standard_normal(shape).astype(np.float32)
+                .astype(jnp.bfloat16))
+            xr_n, xi_n = mk((a, n)), mk((a, n))
+            tr_n, ti_n = mk((a, tail_len)), mk((a, tail_len))
+        fd_n, xe_n = pallas_kernels.fx_correlate_streams_v2(
+            xr_n, xi_n, tr_n, ti_n, np.asarray(taps_rm), a, m,
+            tile_rows=tile, interpret=True)
+
+        # f32 reference over the SAME virtual-stream window: the narrow run
+        # lags the frame end by tail_len, the f32 run by 1024, so feed the
+        # f32 kernel the stream re-framed 1024 samples into the narrow tail
+        f32_tail = pallas_kernels.fx_tail_len(jnp.float32)
+        as32 = lambda v: np.asarray(v, np.float32)
+        sr = np.concatenate([as32(tr_n), as32(xr_n)], axis=-1)
+        si = np.concatenate([as32(ti_n), as32(xi_n)], axis=-1)
+        fd_f, xe_f = pallas_kernels.fx_correlate_streams_v2(
+            sr[:, f32_tail : f32_tail + n], si[:, f32_tail : f32_tail + n],
+            sr[:, :f32_tail], si[:, :f32_tail],
+            np.asarray(taps_rm), a, m, tile_rows=tile, interpret=True)
+        np.testing.assert_allclose(np.asarray(fd_n), np.asarray(fd_f),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(xe_n), np.asarray(xe_f),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_flat_fused_kernel_dual_pol_8_streams():
     """npol=2 via pseudo-stations: 4 antennas × 2 pols = 8 streams with
     explicit XX/XY/YX/YY pair lists — matches xengine_correlate_planar."""
