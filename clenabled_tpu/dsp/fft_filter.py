@@ -63,13 +63,14 @@ def plan_fft_filter(taps, decimation: int = 1) -> FftFilterPlan:
                          nsamples=nsamples, decimation=decimation)
 
 
-def frame_quantum(plan: FftFilterPlan) -> int:
-    """Smallest valid frame length: a multiple of nsamples whose output
-    count is integral (i.e. lcm(nsamples, decimation) rounded to whole
-    chunks)."""
-    q = plan.nsamples
+def frame_quantum(plan) -> int:
+    """Smallest valid frame length: a multiple of the plan's chunk grain
+    whose output count is integral (lcm with the decimation).  Accepts an
+    FftFilterPlan or a pallas_kernels.OfsPlan (which exposes .quantum)."""
+    base = getattr(plan, "quantum", None) or plan.nsamples
+    q = base
     while q % plan.decimation:
-        q += plan.nsamples
+        q += base
     return q
 
 
@@ -114,10 +115,53 @@ def _ofa_filter_planar(xr, xi, tail_r, tail_i, taps_r, taps_i, *, nsamples,
     return yr, yi, tails_r[-1], tails_i[-1]
 
 
-def make_fft_filter_planar(taps, decimation: int = 1):
+def make_fft_filter_planar(taps, decimation: int = 1,
+                           use_pallas: bool | None = None):
     """Planar streaming OFA filter: (init_state, apply, plan) with
-    apply((tail_r, tail_i), frame: planar.PC) → (state, planar.PC)."""
+    apply((tail_r, tail_i), frame: planar.PC) → (state, planar.PC).
+
+    use_pallas (default: auto — on for TPU backends) selects the fused
+    single-HBM-pass overlap-save kernel (pallas_kernels.ofs_filter_planar);
+    identical output samples, different frame quantum (use
+    frame_quantum(plan))."""
     from clenabled_tpu.dsp import planar
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from clenabled_tpu.dsp import pallas_kernels
+
+        try:
+            oplan = pallas_kernels.OfsPlan(taps)
+        except ValueError:
+            oplan = None
+        if oplan is not None:
+            oplan.decimation = decimation
+            quantum2 = frame_quantum(oplan)
+
+            def init_state2(frame_size: int | None = None):
+                del frame_size
+                z = jnp.zeros((oplan.tail_len,), jnp.float32)
+                return (z, z)
+
+            @jax.jit
+            def _run(xr, xi, tr, ti):
+                yr, yi = pallas_kernels.ofs_filter_planar(
+                    xr, xi, tr, ti, oplan)
+                if decimation > 1:
+                    yr, yi = yr[::decimation], yi[::decimation]
+                return (yr, yi, xr[xr.shape[-1] - oplan.tail_len:],
+                        xi[xi.shape[-1] - oplan.tail_len:])
+
+            def apply2(state, frame):
+                if frame.re.shape[-1] % quantum2:
+                    raise ValueError(
+                        f"frame length {frame.re.shape[-1]} must be a "
+                        f"multiple of {quantum2}")
+                yr, yi, tr, ti = _run(frame.re, frame.im, state[0], state[1])
+                return (tr, ti), planar.PC(yr, yi)
+
+            return init_state2, apply2, oplan
 
     plan = plan_fft_filter(taps, decimation)
     quantum = frame_quantum(plan)

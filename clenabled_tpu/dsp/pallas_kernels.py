@@ -22,6 +22,7 @@ lane-packed case).
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache, partial
 
 import jax
@@ -681,3 +682,219 @@ def pfb_channelize_packed(y_packed, hr, num_antennas: int, m: int,
         ),
         interpret=interpret,
     )(y_packed, hr, mat)
+
+
+# ---------------------------------------------------------------------------
+# Fused overlap-save FFT filter (the clFilter frequency-domain path,
+# lib/clFilter_impl.cc:592-681, re-designed for one HBM pass).
+#
+# The taps are zero-padded so the overlap K'−1 is a whole number of 128-lane
+# rows; the FFT size is N = n2·128, so a chunk is exactly n2 rows and the
+# N-point DFT factors as (rows × lanes):
+#
+#   X[s + n2·k] = Σ_c e^{-2πi cs/N} e^{-2πi ck/128} Σ_r x[r,c] e^{-2πi rs/n2}
+#
+# Stage 1 (the n2-point row DFT) is emitted as ONE left matmul whose matrix
+# also performs the overlap-save unfold (chunk j's window starts stride·j
+# rows into the tile window), stage 2 is a [·,128]×[128,128] lane matmul,
+# the tap spectrum multiply is elementwise, and the inverse runs the same
+# two stages transposed with the valid-sample extraction folded into the
+# final left matmul.  Everything HBM-side is row-aligned; the carried tail
+# is K'−1 samples (whole rows), DMAs are double-buffered as in
+# _fx_stream_kernel_v2.
+# ---------------------------------------------------------------------------
+
+
+class OfsPlan:
+    """Design-time constants for the fused overlap-save kernel."""
+
+    def __init__(self, taps, chunks_per_tile: int | None = None):
+        taps = np.asarray(taps, np.complex64)
+        ntaps = int(taps.shape[-1])
+        if ntaps < 2:
+            raise ValueError("ofs kernel needs >= 2 taps")
+        ov_rows = max(1, -(-(ntaps - 1) // LANES))       # ceil to whole rows
+        kp = ov_rows * LANES + 1                          # padded tap count
+        # N = 4·(K'−1) rounded up to a power of two → ≥75% of each chunk is
+        # fresh samples (the reference's 2·next_pow2 sizing gives ~53%)
+        n = 1 << int(math.ceil(math.log2(4 * ov_rows * LANES)))
+        n2 = n // LANES
+        stride = n2 - ov_rows                             # output rows/chunk
+        if chunks_per_tile is None:
+            chunks_per_tile = max(1, 256 // n2)
+        t = chunks_per_tile
+        self.ntaps, self.kp, self.n, self.n2 = ntaps, kp, n, n2
+        self.ov_rows, self.stride, self.t = ov_rows, stride, t
+        self.win = stride * t + ov_rows                   # window rows/tile
+        self.win_pad = -(-self.win // 8) * 8
+        self.out_rows = stride * t                        # output rows/tile
+        self.quantum = self.out_rows * LANES              # frame granularity
+        self.tail_len = ov_rows * LANES                   # carried samples
+
+        r = n2 * t
+        hlin = np.fft.fft(np.concatenate(
+            [taps, np.zeros(n - ntaps, np.complex64)])) / n
+        s_idx = np.arange(n2)
+        c_idx = np.arange(LANES)
+
+        def pairs(z):
+            return (jnp.asarray(z.real.astype(np.float32)),
+                    jnp.asarray(z.imag.astype(np.float32)))
+
+        # stage-1 matrix with the unfold folded in: [R, win_pad]
+        af = np.zeros((r, self.win_pad), np.complex64)
+        d_n2 = np.exp(-2j * np.pi * np.outer(s_idx, np.arange(n2)) / n2)
+        for j in range(t):
+            af[n2 * j : n2 * (j + 1),
+               stride * j : stride * j + n2] = d_n2
+        self.af = pairs(af)
+        # lane DFT and its inverse
+        self.d1 = pairs(np.exp(
+            -2j * np.pi * np.outer(c_idx, c_idx) / LANES))
+        self.di = pairs(np.exp(
+            +2j * np.pi * np.outer(c_idx, c_idx) / LANES))
+        # twiddles and tap spectrum, tiled over the t chunks: [R, 128]
+        tw1 = np.exp(-2j * np.pi * np.outer(s_idx, c_idx) / n)
+        self.tw = pairs(np.tile(tw1, (t, 1)))
+        self.twb = pairs(np.tile(np.conj(tw1), (t, 1)))
+        hmat = hlin[s_idx[:, None] + n2 * c_idx[None, :]]  # [n2, 128]
+        self.h = pairs(np.tile(hmat, (t, 1)))
+        # final matrix: inverse row DFT restricted to the valid rows, with
+        # the per-chunk re-fold: [out_rows, R]
+        a2 = np.zeros((self.out_rows, r), np.complex64)
+        d_inv = np.exp(+2j * np.pi * np.outer(
+            np.arange(ov_rows, n2), s_idx) / n2)          # [stride, n2]
+        for j in range(t):
+            a2[stride * j : stride * (j + 1),
+               n2 * j : n2 * (j + 1)] = d_inv
+        self.a2 = pairs(a2)
+
+    @property
+    def consts(self):
+        return (self.af + self.d1 + self.tw + self.h + self.di + self.twb
+                + self.a2)
+
+
+def _ofs_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, afr, afi, d1r, d1i, twr,
+                twi_, hr_, hi_, dir_, dii_, tbr, tbi, a2r, a2i, outr, outi,
+                scratch, sems, *, stride_t, win, win_pad, ov):
+    i = pl.program_id(0)
+    num = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def copy(p, j, s, first: bool):
+        src = (xr_hbm, xi_hbm)[p]
+        if first:
+            return pltpu.make_async_copy(
+                src.at[pl.ds(0, win - ov), :],
+                scratch.at[s, p, pl.ds(ov, win - ov), :], sems.at[s, p])
+        start = pl.multiple_of(j * stride_t - ov, 2)
+        return pltpu.make_async_copy(
+            src.at[pl.ds(start, win), :],
+            scratch.at[s, p, pl.ds(0, win), :], sems.at[s, p])
+
+    @pl.when(i == 0)
+    def _():
+        for p in range(2):
+            copy(p, 0, 0, first=True).start()
+        scratch[0, 0, 0:ov, :] = tr_ref[:, :]
+        scratch[0, 1, 0:ov, :] = ti_ref[:, :]
+        if win_pad > win:
+            # rows the DMA never writes: the stage-1 matrix has zero
+            # columns there, but 0·garbage must not be 0·NaN
+            z = jnp.zeros((win_pad - win, LANES), jnp.float32)
+            for s in range(2):
+                for p in range(2):
+                    scratch[s, p, win:win_pad, :] = z
+
+    @pl.when(i + 1 < num)
+    def _():
+        for p in range(2):
+            copy(p, i + 1, 1 - slot, first=False).start()
+
+    @pl.when(i == 0)
+    def _():
+        for p in range(2):
+            copy(p, 0, 0, first=True).wait()
+
+    @pl.when(i > 0)
+    def _():
+        for p in range(2):
+            copy(p, i, slot, first=False).wait()
+
+    def cdot(ar, ai, br, bi):
+        return (jnp.dot(ar, br, preferred_element_type=jnp.float32)
+                - jnp.dot(ai, bi, preferred_element_type=jnp.float32),
+                jnp.dot(ar, bi, preferred_element_type=jnp.float32)
+                + jnp.dot(ai, br, preferred_element_type=jnp.float32))
+
+    for s in range(2):
+        @pl.when(slot == s)
+        def _(s=s):
+            wr = scratch[s, 0]
+            wi = scratch[s, 1]
+            yr, yi = cdot(afr[:, :], afi[:, :], wr, wi)      # stage 1+unfold
+            zr = yr * twr[:, :] - yi * twi_[:, :]            # twiddle
+            zi = yr * twi_[:, :] + yi * twr[:, :]
+            vr, vi = cdot(zr, zi, d1r[:, :], d1i[:, :])      # stage 2 (lanes)
+            fr_ = vr * hr_[:, :] - vi * hi_[:, :]            # tap spectrum
+            fi_ = vr * hi_[:, :] + vi * hr_[:, :]
+            ur, ui = cdot(fr_, fi_, dir_[:, :], dii_[:, :])  # inv lanes
+            br_ = ur * tbr[:, :] - ui * tbi[:, :]            # inv twiddle
+            bi_ = ur * tbi[:, :] + ui * tbr[:, :]
+            or_, oi_ = cdot(a2r[:, :], a2i[:, :], br_, bi_)  # inv rows+fold
+            outr[:, :] = or_
+            outi[:, :] = oi_
+
+
+def ofs_filter_planar(xr, xi, tail_r, tail_i, plan: OfsPlan,
+                      interpret: bool = False):
+    """Fused overlap-save FFT filter step.
+
+    xr/xi: [n] float32 (n a multiple of plan.quantum); tail_r/tail_i:
+    [plan.tail_len] float32 — the previous frame's last samples (zeros
+    initially).  Returns (yr, yi) of length n: EXACTLY the same samples as
+    dsp.fft_filter's overlap-add path (y[p] = Σ_k taps[k]·x[p−k] with x
+    reaching back into the tail), chunking is internal.  Decimation is the
+    caller's strided slice.
+    """
+    n = xr.shape[-1]
+    if n % plan.quantum:
+        raise ValueError(f"frame length {n} must be a multiple of "
+                         f"{plan.quantum}")
+    if tail_r.shape != (plan.tail_len,):
+        raise ValueError(f"tail must be [{plan.tail_len}]")
+    rows = n // LANES
+    grid = rows // plan.out_rows
+    xr2 = xr.reshape(rows, LANES)
+    xi2 = xi.reshape(rows, LANES)
+    tr2 = tail_r.reshape(plan.ov_rows, LANES)
+    ti2 = tail_i.reshape(plan.ov_rows, LANES)
+    yr, yi = pl.pallas_call(
+        partial(_ofs_kernel, stride_t=plan.out_rows, win=plan.win,
+                win_pad=plan.win_pad, ov=plan.ov_rows),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
+        out_specs=(
+            pl.BlockSpec((plan.out_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.out_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, plan.win_pad, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * 2 * n * (plan.n2 * plan.t + 2 * LANES) // 8,
+            bytes_accessed=8 * (xr.size + n),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xr2, xi2, tr2, ti2, *plan.consts)
+    return yr.reshape(n), yi.reshape(n)

@@ -242,3 +242,59 @@ def test_flat_fused_kernel_dual_pol_8_streams():
     got = np.transpose(got, (2, 0, 1))                 # [F, nb, 4]
     np.testing.assert_allclose(got, want, rtol=1e-4,
                                atol=1e-4 * np.abs(want).max())
+
+
+def test_ofs_filter_matches_overlap_add():
+    """The fused overlap-save kernel must reproduce the overlap-add OFA
+    filter (dsp.fft_filter, reference sizing) sample for sample, including
+    the carried tail across multiple frames."""
+    from clenabled_tpu.dsp import fft_filter as ofa
+
+    ntaps = 241
+    rng = np.random.default_rng(13)
+    taps = rng.standard_normal(ntaps).astype(np.float32)
+    plan = pallas_kernels.OfsPlan(taps, chunks_per_tile=2)
+    assert plan.n == 1024 and plan.n2 == 8 and plan.stride == 6
+
+    frames = 2
+    n = 2 * plan.quantum
+    x = (rng.standard_normal((frames * n,))
+         + 1j * rng.standard_normal((frames * n,))).astype(np.complex64)
+
+    # reference: direct convolution (what the OFA path computes)
+    want = np.convolve(x, taps.astype(np.complex64))[: frames * n]
+
+    tr = np.zeros(plan.tail_len, np.float32)
+    ti = np.zeros(plan.tail_len, np.float32)
+    got = []
+    for k in range(frames):
+        fr = x.real[k * n : (k + 1) * n].astype(np.float32)
+        fi = x.imag[k * n : (k + 1) * n].astype(np.float32)
+        yr, yi = pallas_kernels.ofs_filter_planar(fr, fi, tr, ti, plan,
+                                                  interpret=True)
+        got.append(np.asarray(yr) + 1j * np.asarray(yi))
+        tr, ti = fr[n - plan.tail_len:], fi[n - plan.tail_len:]
+    got = np.concatenate(got)
+    tol = 1e-4 * np.abs(want).max()
+    np.testing.assert_allclose(got.real, want.real, atol=tol)
+    np.testing.assert_allclose(got.imag, want.imag, atol=tol)
+
+
+def test_ofs_plan_sizing_large_taps():
+    """Non-power-of-two row counts (ntaps=385 → K'−1=384, N=2048)."""
+    from clenabled_tpu.dsp import fft_filter as ofa
+
+    rng = np.random.default_rng(3)
+    taps = rng.standard_normal(385).astype(np.float32)
+    plan = pallas_kernels.OfsPlan(taps, chunks_per_tile=1)
+    assert plan.tail_len == 384
+    n = 2 * plan.quantum
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    want = np.convolve(x, taps.astype(np.complex64))[:n]
+    yr, yi = pallas_kernels.ofs_filter_planar(
+        x.real.astype(np.float32), x.imag.astype(np.float32),
+        np.zeros(plan.tail_len, np.float32), np.zeros(plan.tail_len, np.float32),
+        plan, interpret=True)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    tol = 1e-4 * np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=tol)
