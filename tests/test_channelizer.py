@@ -95,3 +95,44 @@ def test_validates_buf_multiple():
     taps = firdes.low_pass(1.0, 8.0, 0.5, 0.25)
     with pytest.raises(ValueError):
         channelizer.polyphase_channelize(cplx(len(taps) - 1 + 17), taps, 8, 8, [0])
+
+
+def test_oversampled_phase_split_paths_agree():
+    """The gather-free phase-split PFB (scalar and lane-packed planar
+    variants) must agree bit-for-bit for every (M, R) shape class,
+    including non-power-of-two M and i_offset (sharded rotation phase)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import channelizer as C
+
+    rng = np.random.default_rng(2)
+    for (m, r) in [(16, 8), (16, 12), (8, 6), (3, 2), (12, 9)]:
+        taps = rng.standard_normal(m * 4 + 3).astype(np.float32)
+        taps_rm, t = C._pfb_constants(taps, m, r)
+        ell = m // math.gcd(m, r)
+        nout = ell * 30
+        xr = rng.standard_normal(t - 1 + nout * r).astype(np.float32)
+        xi = rng.standard_normal(t - 1 + nout * r).astype(np.float32)
+        wr = np.asarray(C._pfb_oversampled(
+            jnp.asarray(xr), taps_rm, m, r, t, nout, 5))
+        wi = np.asarray(C._pfb_oversampled(
+            jnp.asarray(xi), taps_rm, m, r, t, nout, 5))
+        # scalar path vs the explicit commutator-gather formulation
+        w = taps_rm.shape[0]
+        import jax as _jax
+        i_idx = _jax.lax.broadcasted_iota(jnp.int32, (nout, w * m), 0)
+        n_idx = _jax.lax.broadcasted_iota(jnp.int32, (nout, w * m), 1)
+        gidx = jnp.clip(i_idx * r + (t - 1) - n_idx, 0, xr.shape[-1] - 1)
+        acc = C._branch_sums_gather(jnp.asarray(xr), taps_rm, gidx, nout, w, m)
+        i_rot = _jax.lax.broadcasted_iota(jnp.int32, (nout, m), 0) + 5
+        c_rot = _jax.lax.broadcasted_iota(jnp.int32, (nout, m), 1)
+        src = jnp.mod(c_rot - i_rot * (m - r), m)
+        want = np.asarray(jnp.take_along_axis(acc, src, axis=-1))
+        np.testing.assert_allclose(wr, want, atol=1e-4 * max(1, np.abs(want).max()))
+        # lane-packed planar variant vs scalar
+        gr, gi = C._pfb_oversampled_planar(
+            jnp.asarray(xr), jnp.asarray(xi), taps_rm, m, r, t, nout, 5)
+        np.testing.assert_array_equal(np.asarray(gr), wr)
+        np.testing.assert_array_equal(np.asarray(gi), wi)
