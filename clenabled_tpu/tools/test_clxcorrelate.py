@@ -20,6 +20,8 @@ def main() -> None:
                     help="complex-free float32 path (required on axon TPU)")
     ap.add_argument("--batch", type=int, default=1,
                     help="analysis windows per dispatch")
+    ap.add_argument("--fft-batch", dest="fft_batch", type=int, default=64,
+                    help="FFT vectors per dispatch for the FD correlator")
     ap.add_argument("--iterations", type=int, default=100)
     args = ap.parse_args()
 
@@ -63,22 +65,29 @@ def main() -> None:
         T.report(f"TD xcorr (batch {b})", total, secs,
                  extra=f"{total * itemsize / secs / 1e9:.2f} GB/s in")
 
-    if args.planar:
-        from clenabled_tpu.dsp import planar
+    # batched FD correlator: many FFT vectors per dispatch, exactly as the
+    # FdXCorrelate block batches a frame (per-call dispatch over the tunnel
+    # ≈ 1 ms, so single-vector timing is pure overhead at small n)
+    for b in (1, args.fft_batch):
+        if args.planar:
+            from clenabled_tpu.dsp import planar
 
-        vecs = planar.PC(
-            jax.device_put(np.stack([T.rand_float(n, i) for i in range(k)])),
-            jax.device_put(np.stack([T.rand_float(n, 50 + i)
-                                     for i in range(k)])))
-        fn = jax.jit(lambda r, i2: xcorr.fd_xcorr_planar(planar.PC(r, i2)))
-        secs = T.time_fn(fn, vecs.re, vecs.im, iterations=it)
-    else:
-        vecs = jax.device_put(np.stack([T.rand_complex(n, i) for i in range(k)]))
-        fn = jax.jit(lambda v: xcorr.fd_xcorr(v))
-        secs = T.time_fn(fn, vecs, iterations=it)
-    total = n * k
-    T.report("FD xcorr (fft_vcf)", total, secs,
-             extra=f"{total * 8 / secs / 1e9:.2f} GB/s in")
+            vecs = planar.PC(
+                jax.device_put(np.stack(
+                    [T.rand_float(b * n, i).reshape(b, n) for i in range(k)])),
+                jax.device_put(np.stack(
+                    [T.rand_float(b * n, 50 + i).reshape(b, n)
+                     for i in range(k)])))
+            fn = jax.jit(lambda r, i2: xcorr.fd_xcorr_planar(planar.PC(r, i2)))
+            secs = T.time_fn(fn, vecs.re, vecs.im, iterations=it)
+        else:
+            vecs = jax.device_put(np.stack(
+                [T.rand_complex(b * n, i).reshape(b, n) for i in range(k)]))
+            fn = jax.jit(lambda v: xcorr.fd_xcorr(v))
+            secs = T.time_fn(fn, vecs, iterations=it)
+        total = n * k * b
+        T.report(f"FD xcorr (fft_vcf, batch {b})", total, secs,
+                 extra=f"{total * 8 / secs / 1e9:.2f} GB/s in")
 
 
 if __name__ == "__main__":
