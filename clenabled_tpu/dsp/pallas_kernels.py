@@ -715,13 +715,20 @@ class OfsPlan:
             raise ValueError("ofs kernel needs >= 2 taps")
         ov_rows = max(1, -(-(ntaps - 1) // LANES))       # ceil to whole rows
         kp = ov_rows * LANES + 1                          # padded tap count
-        # N = 4·(K'−1) rounded up to a power of two → ≥75% of each chunk is
-        # fresh samples (the reference's 2·next_pow2 sizing gives ~53%)
-        n = 1 << int(math.ceil(math.log2(4 * ov_rows * LANES)))
-        n2 = n // LANES
-        stride = n2 - ov_rows                             # output rows/chunk
+        # stride (fresh rows per chunk) is the smallest power of two with
+        # ≥75% chunk efficiency, and chunks_per_tile is a power of two, so
+        # the frame quantum stride·T·128 is a power of two (streaming
+        # callers overwhelmingly use power-of-two frames).  N = n2·128 need
+        # not be a power of two — the row DFT is a dense [n2, n2] block.
+        stride = 4
+        while stride < 3 * ov_rows:
+            stride *= 2
+        n2 = stride + ov_rows
+        n = n2 * LANES
         if chunks_per_tile is None:
-            chunks_per_tile = max(1, 256 // n2)
+            chunks_per_tile = 1
+            while 2 * chunks_per_tile * n2 <= 512:
+                chunks_per_tile *= 2
         t = chunks_per_tile
         self.ntaps, self.kp, self.n, self.n2 = ntaps, kp, n, n2
         self.ov_rows, self.stride, self.t = ov_rows, stride, t
@@ -731,7 +738,8 @@ class OfsPlan:
         self.quantum = self.out_rows * LANES              # frame granularity
         self.tail_len = ov_rows * LANES                   # carried samples
 
-        r = n2 * t
+        r = -(-(n2 * t) // 8) * 8          # unfolded rows, sublane-aligned
+        self.r_pad = r
         hlin = np.fft.fft(np.concatenate(
             [taps, np.zeros(n - ntaps, np.complex64)])) / n
         s_idx = np.arange(n2)
@@ -741,7 +749,8 @@ class OfsPlan:
             return (jnp.asarray(z.real.astype(np.float32)),
                     jnp.asarray(z.imag.astype(np.float32)))
 
-        # stage-1 matrix with the unfold folded in: [R, win_pad]
+        # stage-1 matrix with the unfold folded in: [R, win_pad] (rows
+        # beyond n2·t are zero — sublane padding)
         af = np.zeros((r, self.win_pad), np.complex64)
         d_n2 = np.exp(-2j * np.pi * np.outer(s_idx, np.arange(n2)) / n2)
         for j in range(t):
@@ -754,11 +763,16 @@ class OfsPlan:
         self.di = pairs(np.exp(
             +2j * np.pi * np.outer(c_idx, c_idx) / LANES))
         # twiddles and tap spectrum, tiled over the t chunks: [R, 128]
+        def tile_rows_pad(block):
+            out = np.zeros((r, LANES), np.complex64)
+            out[: n2 * t] = np.tile(block, (t, 1))
+            return out
+
         tw1 = np.exp(-2j * np.pi * np.outer(s_idx, c_idx) / n)
-        self.tw = pairs(np.tile(tw1, (t, 1)))
-        self.twb = pairs(np.tile(np.conj(tw1), (t, 1)))
+        self.tw = pairs(tile_rows_pad(tw1))
+        self.twb = pairs(tile_rows_pad(np.conj(tw1)))
         hmat = hlin[s_idx[:, None] + n2 * c_idx[None, :]]  # [n2, 128]
-        self.h = pairs(np.tile(hmat, (t, 1)))
+        self.h = pairs(tile_rows_pad(hmat))
         # final matrix: inverse row DFT restricted to the valid rows, with
         # the per-chunk re-fold: [out_rows, R]
         a2 = np.zeros((self.out_rows, r), np.complex64)

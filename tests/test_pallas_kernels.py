@@ -254,7 +254,10 @@ def test_ofs_filter_matches_overlap_add():
     rng = np.random.default_rng(13)
     taps = rng.standard_normal(ntaps).astype(np.float32)
     plan = pallas_kernels.OfsPlan(taps, chunks_per_tile=2)
-    assert plan.n == 1024 and plan.n2 == 8 and plan.stride == 6
+    assert plan.n == 1280 and plan.n2 == 10 and plan.stride == 8
+    # default chunks_per_tile yields a power-of-two frame quantum
+    assert pallas_kernels.OfsPlan(taps).quantum & (
+        pallas_kernels.OfsPlan(taps).quantum - 1) == 0
 
     frames = 2
     n = 2 * plan.quantum
