@@ -464,10 +464,15 @@ def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
             row = gi if gi < a else gi - a
             scratch[0, gi, 0:halo, :] = tref[row, :, :]
 
-    @pl.when(i + 1 < num)
-    def _():
-        for gi in range(g):
-            tile_copy(gi, i + 1, 1 - slot, first=False).start()
+    # a statically single-tile grid must not even TRACE the steady-state
+    # branches: their (tile_rows + halo)-row slices exceed the frame
+    multi = not isinstance(num, int) or num > 1
+
+    if multi:
+        @pl.when(i + 1 < num)
+        def _():
+            for gi in range(g):
+                tile_copy(gi, i + 1, 1 - slot, first=False).start()
 
     # batch waits up front (per-group waits interleaved with the MACs
     # measured ~0.2 ms SLOWER — they fence Mosaic's load scheduling)
@@ -476,10 +481,11 @@ def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
         for gi in range(g):
             tile_copy(gi, 0, 0, first=True).wait()
 
-    @pl.when(i > 0)
-    def _():
-        for gi in range(g):
-            tile_copy(gi, i, slot, first=False).wait()
+    if multi:
+        @pl.when(i > 0)
+        def _():
+            for gi in range(g):
+                tile_copy(gi, i, slot, first=False).wait()
 
     # the math is unrolled per slot: dynamic scratch[slot] indexing defeats
     # Mosaic's vector-load lowering (measured ~1.6× slower); two static

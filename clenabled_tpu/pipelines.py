@@ -246,3 +246,85 @@ def make_sharded_fx_pipeline(mesh: Mesh, axis: str = "shard",
     x = jnp.zeros((a, n), jnp.complex64)
     hist = jnp.zeros((a, ntaps - 1), jnp.complex64)
     return fn, (x, hist)
+
+
+def make_sharded_fx_pipeline_fused(mesh: Mesh, axis: str = "shard",
+                                   cfg: FxPipelineConfig = FxPipelineConfig(),
+                                   samp_rate: float = 100e6,
+                                   in_dtype=jnp.float32,
+                                   interpret: bool | None = None):
+    """Multi-chip flagship running the FULL-SPEED fused Pallas kernel
+    (fx_correlate_streams_v2) per time shard.
+
+    Each chip channelizes + correlates its time slice of the antenna
+    streams; the carried tail rides a ring ppermute (chip d's tail = chip
+    d−1's last fx_tail_len samples — one ICI hop), and the FD/X-Engine
+    accumulators psum across the mesh (integration is a sum over time).
+    Collectives per step: 2 ppermute (re/im tails) + psums, all ICI.
+
+    interpret: run the Pallas kernel in interpreter mode (default: on for
+    CPU backends, so the 8-device CPU mesh validates the real multi-chip
+    production path hardware-free).
+
+    Returns (fn, example_args): fn(xr, xi, tr, ti) with xr/xi [A, D·L]
+    time-sharded and tr/ti [A, tail_len] (the global stream tail,
+    replicated) → (fd [A-1, M], xre, xim [F, nb, 1], new_tr, new_ti).
+    """
+    from clenabled_tpu.dsp import pallas_kernels
+
+    a = cfg.num_antennas
+    m = cfg.num_channels
+    d = mesh.shape[axis]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
+                            samp_rate / (2 * m) * 0.2)
+    proto = np.concatenate(
+        [proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
+    n_local = cfg.samples_per_step          # per-shard samples per step
+    tail_len = pallas_kernels.fx_tail_len(in_dtype)
+    if n_local < tail_len:
+        raise ValueError("per-shard block must be >= the carried tail")
+    tile_rows = 256
+    while (n_local // 128) % tile_rows:
+        tile_rows //= 2
+    if tile_rows < tail_len // 128:
+        raise ValueError("samples_per_step too small for the ingest dtype")
+    nout_total = (n_local * d) // m
+    n = n_local * d
+    perm = [(j, (j + 1) % d) for j in range(d)]
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, axis), P(None, axis), P(None, None),
+                       P(None, None)),
+             out_specs=(P(), P(), P(), P(None, None), P(None, None)),
+             check_vma=False)  # pallas_call outputs carry no vma info
+    def fn(xr, xi, tr, ti):
+        idx = jax.lax.axis_index(axis)
+        # ring halo: this shard's tail = left neighbor's last samples
+        recv_r = jax.lax.ppermute(xr[:, n_local - tail_len:], axis, perm)
+        recv_i = jax.lax.ppermute(xi[:, n_local - tail_len:], axis, perm)
+        my_tr = jnp.where(idx == 0, tr, recv_r)
+        my_ti = jnp.where(idx == 0, ti, recv_i)
+        fd_sum, gram = pallas_kernels.fx_correlate_streams_v2(
+            xr, xi, my_tr, my_ti, taps_rm, a, m, tile_rows=tile_rows,
+            interpret=interpret)
+        fd_sum = jax.lax.psum(fd_sum, axis)
+        gram = jax.lax.psum(gram, axis)
+        fd = jnp.roll(fd_sum / nout_total, m // 2, axis=-1)
+        xre = gram[:, :m].T[:, :, None]
+        xim = gram[:, m:].T[:, :, None]
+        # next step's global tail = the LAST shard's frame tail
+        new_tr = jax.lax.psum(
+            jnp.where(idx == d - 1, xr[:, n_local - tail_len:],
+                      jnp.zeros_like(my_tr)), axis)
+        new_ti = jax.lax.psum(
+            jnp.where(idx == d - 1, xi[:, n_local - tail_len:],
+                      jnp.zeros_like(my_ti)), axis)
+        return fd, xre, xim, new_tr, new_ti
+
+    x = jnp.zeros((a, n), in_dtype)
+    tail = jnp.zeros((a, tail_len), in_dtype)
+    return fn, (x, x, tail, tail)

@@ -227,3 +227,58 @@ def test_sharded_chain_with_channelizer():
     _, want = aq(iq(), x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_fused_flagship_matches_single_device():
+    """The multi-chip fused flagship (fx_correlate_streams_v2 per time
+    shard, ring-ppermute tails, psum accumulators) must reproduce the
+    single-device fused step over the concatenated stream — two steps, so
+    the carried global tail crosses both the shard ring and the step
+    boundary."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import pallas_kernels
+    from clenabled_tpu.pipelines import (FxPipelineConfig,
+                                         make_sharded_fx_pipeline_fused)
+
+    mesh = make_mesh()
+    d = mesh.shape["shard"]
+    a, m = 2, 16
+    n_local = 1024          # per-shard samples (tile_rows degrades to 8)
+    cfg = FxPipelineConfig(num_antennas=a, num_channels=m,
+                           samples_per_step=n_local)
+    fn, (xr0, xi0, tr0, ti0) = make_sharded_fx_pipeline_fused(
+        mesh, cfg=cfg, interpret=True)
+    n = n_local * d
+    xr = RNG.standard_normal((2, a, n)).astype(np.float32)
+    xi = RNG.standard_normal((2, a, n)).astype(np.float32)
+
+    tr, ti = tr0, ti0
+    got = []
+    for k in range(2):
+        fd, xre, xim, tr, ti = fn(xr[k], xi[k], tr, ti)
+        got.append((np.asarray(fd), np.asarray(xre), np.asarray(xim)))
+
+    # single-device reference: same kernel over the whole stream per step
+    from clenabled_tpu.dsp import channelizer as C, firdes
+    proto = firdes.low_pass(1.0, 100e6, 100e6 / (2 * m) * 0.8,
+                            100e6 / (2 * m) * 0.2)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, _ = C._pfb_constants(proto, m, m)
+    tail_len = pallas_kernels.fx_tail_len(jnp.float32)
+    str_, sti = (np.zeros((a, tail_len), np.float32),) * 2
+    for k in range(2):
+        fd_sum, gram = pallas_kernels.fx_correlate_streams_v2(
+            xr[k], xi[k], str_, sti, np.asarray(taps_rm), a, m, tile_rows=8,
+            interpret=True)
+        str_, sti = xr[k][:, n - tail_len:], xi[k][:, n - tail_len:]
+        fd = np.roll(np.asarray(fd_sum) / (n // m), m // 2, axis=-1)
+        want_re = np.asarray(gram)[:, :m].T[:, :, None]
+        want_im = np.asarray(gram)[:, m:].T[:, :, None]
+        scale = max(np.abs(want_re).max(), 1e-9)
+        np.testing.assert_allclose(got[k][0], fd, rtol=1e-4,
+                                   atol=1e-4 * np.abs(fd).max())
+        np.testing.assert_allclose(got[k][1], want_re, rtol=1e-4,
+                                   atol=1e-4 * scale)
+        np.testing.assert_allclose(got[k][2], want_im, rtol=1e-4,
+                                   atol=1e-4 * scale)
