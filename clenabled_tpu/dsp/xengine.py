@@ -141,11 +141,20 @@ def xengine_correlate(z, npol: int = 2,
 
 
 def xengine_correlate_planar(z, npol: int = 2,
-                             output_format: int = CLXCORR_TRIANGULAR_ORDER):
+                             output_format: int = CLXCORR_TRIANGULAR_ORDER,
+                             compute_dtype=None):
     """Planar-complex X-Engine: z is a planar.PC of [T, S, F, P].  Returns a
     planar.PC result — same math as xengine_correlate (which already
     decomposes into 4 real matmuls internally), with no complex64 anywhere
-    (the axon-safe TPU path)."""
+    (the axon-safe TPU path).
+
+    compute_dtype=jnp.bfloat16 runs the Gram matmuls with bf16 operands and
+    float32 accumulation: half the HBM traffic (the bottleneck — arithmetic
+    intensity is ~S·P flop/byte) and double the MXU rate.  The MXU forms
+    bf16×bf16 products EXACTLY and accumulates in f32, so for sample
+    streams quantized to ≤8 bits (the reference's IChar/packed-4-bit
+    ingest, lib/clXEngine_impl.cc:605-700) the result is bit-identical to
+    the f32 path (tests/test_xengine.py)."""
     from clenabled_tpu.dsp import planar
 
     t, s, f, p = z.re.shape
@@ -153,6 +162,9 @@ def xengine_correlate_planar(z, npol: int = 2,
         raise ValueError(f"input has {p} pols, expected {npol}")
     zr = jnp.transpose(z.re, (0, 1, 3, 2)).reshape(t, s * p, f)
     zi = jnp.transpose(z.im, (0, 1, 3, 2)).reshape(t, s * p, f)
+    if compute_dtype is not None:
+        zr = zr.astype(compute_dtype)
+        zi = zi.astype(compute_dtype)
     rr = jnp.einsum("tif,tjf->fij", zr, zr, preferred_element_type=jnp.float32)
     ii = jnp.einsum("tif,tjf->fij", zi, zi, preferred_element_type=jnp.float32)
     ri = jnp.einsum("tif,tjf->fij", zr, zi, preferred_element_type=jnp.float32)
@@ -166,6 +178,47 @@ def xengine_correlate_planar(z, npol: int = 2,
     p1 = jnp.tile(jnp.arange(p), p)
     rows = s1[:, None] * p + p0[None, :]
     cols = s2[:, None] * p + p1[None, :]
+    return planar.PC(g.re[:, rows, cols], g.im[:, rows, cols])
+
+
+def xengine_correlate_channel_major(zr, zi, npol: int = 2,
+                                    output_format: int = CLXCORR_TRIANGULAR_ORDER,
+                                    compute_dtype=None):
+    """Channel-major planar X-Engine: zr/zi are [F, T, S·P] float32 or
+    bfloat16 — the TPU-native marshal order (stations·pols on the 128
+    lanes, integration frames on sublanes, channels batched).  With this
+    layout the Gram contraction needs NO transposes at all, and with
+    compute_dtype=bfloat16 (exact for ≤8-bit quantized streams — the MXU
+    forms bf16×bf16 products exactly and accumulates in f32) it reaches
+    32.9 TFLOP/s on a v5e chip at S=64/2-pol/8192-frame integrations vs
+    7.1 for the time-major f32 path (BENCH_TPU.md).
+
+    The reference marshals [time][station][chan][pol]
+    (lib/clXEngine_impl.cc:982-1061) because its GPU kernel wants
+    baseline-parallel work items; the TPU wants the channel batch
+    outermost.  Returns the same planar triangular/full-matrix output as
+    xengine_correlate_planar.
+    """
+    from clenabled_tpu.dsp import planar
+
+    f, t, sp = zr.shape
+    s = sp // npol
+    if compute_dtype is not None:
+        zr = zr.astype(compute_dtype)
+        zi = zi.astype(compute_dtype)
+    rr = jnp.einsum("ftk,ftl->fkl", zr, zr, preferred_element_type=jnp.float32)
+    ii = jnp.einsum("ftk,ftl->fkl", zi, zi, preferred_element_type=jnp.float32)
+    ri = jnp.einsum("ftk,ftl->fkl", zr, zi, preferred_element_type=jnp.float32)
+    ir = jnp.einsum("ftk,ftl->fkl", zi, zr, preferred_element_type=jnp.float32)
+    g = planar.PC(rr + ii, ir - ri)
+    if output_format == CLXCORR_FULL_MATRIX:
+        return g
+    st = baseline_stations(s)
+    s1, s2 = jnp.asarray(st[:, 0]), jnp.asarray(st[:, 1])
+    p0 = jnp.arange(npol).repeat(npol)
+    p1 = jnp.tile(jnp.arange(npol), npol)
+    rows = s1[:, None] * npol + p0[None, :]
+    cols = s2[:, None] * npol + p1[None, :]
     return planar.PC(g.re[:, rows, cols], g.im[:, rows, cols])
 
 

@@ -19,6 +19,12 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--planar", action="store_true",
                     help="complex-free float32 path (required on axon TPU)")
+    ap.add_argument("--channel-major", dest="channel_major",
+                    action="store_true",
+                    help="TPU-native [F, T, S·P] marshal (no transposes)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 Gram operands, f32 accumulate (exact for "
+                    "<=8-bit quantized streams)")
     ap.add_argument("--iterations", type=int, default=50)
     args = ap.parse_args()
 
@@ -40,7 +46,19 @@ def main() -> None:
           f"channels: {f}  integration: {t}  baselines: {nb}")
 
     rng = np.random.default_rng(0)
-    if args.planar:
+    if args.channel_major:
+        import jax.numpy as jnp
+
+        dt = jnp.bfloat16 if args.bf16 else np.float32
+        zr = jax.device_put(
+            rng.integers(-127, 128, (f, t, s * p)).astype(dt))
+        zi = jax.device_put(
+            rng.integers(-127, 128, (f, t, s * p)).astype(dt))
+        fn = jax.jit(lambda r, i2: xengine.xengine_correlate_channel_major(
+            r, i2, npol=p,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None))
+        secs = T.time_fn(fn, zr, zi, iterations=it)
+    elif args.planar:
         from clenabled_tpu.dsp import planar
 
         zr = jax.device_put(rng.standard_normal((t, s, f, p)).astype(np.float32))

@@ -106,3 +106,28 @@ def test_apply_validates_shape():
     init, apply = xengine.make_xengine(2, 4, 2, 8)
     with pytest.raises(ValueError):
         apply(init(), cplx(4, 2, 4, 2))
+
+
+def test_channel_major_matches_time_major():
+    """xengine_correlate_channel_major (the TPU-native marshal + optional
+    bf16 Gram) must equal the time-major planar path exactly on ≤8-bit
+    quantized data (bf16×bf16 MXU products are exact; f32 accumulate)."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import planar
+
+    t, s, f, p = 64, 6, 8, 2
+    rng = np.random.default_rng(17)
+    zr = rng.integers(-127, 128, (t, s, f, p)).astype(np.float32)
+    zi = rng.integers(-127, 128, (t, s, f, p)).astype(np.float32)
+    want = xengine.xengine_correlate_planar(
+        planar.PC(jnp.asarray(zr), jnp.asarray(zi)), npol=p)
+
+    # channel-major marshal: [F, T, S·P]
+    cm_r = jnp.asarray(np.transpose(zr, (2, 0, 1, 3)).reshape(f, t, s * p))
+    cm_i = jnp.asarray(np.transpose(zi, (2, 0, 1, 3)).reshape(f, t, s * p))
+    for dt in (None, jnp.bfloat16):
+        got = xengine.xengine_correlate_channel_major(
+            cm_r, cm_i, npol=p, compute_dtype=dt)
+        np.testing.assert_array_equal(np.asarray(got.re), np.asarray(want.re))
+        np.testing.assert_array_equal(np.asarray(got.im), np.asarray(want.im))
