@@ -149,6 +149,27 @@ def fir_direct(x, taps, tile_rows: int = 256, interpret: bool = False):
     )(xp, taps_k).reshape(n)
 
 
+def _fx_band_matrices(taps_rm, m: int):
+    """Banded shift matrices M_q folding the ENTIRE polyphase branch stage
+    into MXU matmuls: acc[r, λ] = Σ_c hr[c, λ]·flat[r·128 + λ + (w−1−c)·m]
+    = Σ_q (feed[r+q, :] @ M_q)[λ], with M_q[j, λ] = hr[c, λ] whenever
+    λ + (w−1−c)·m = q·128 + j.  Density is 1/m·(w/nq) — low, but the MXU
+    has ~40× the VPU's FLOPs, and this removes every roll/select/MAC from
+    the VPU path (measured: the roll+merge stage, not the MACs, is the
+    VPU floor of the fused kernel)."""
+    t_np = np.asarray(taps_rm, np.float32)            # [w, m]
+    w = t_np.shape[0]
+    hr = np.tile(t_np[:, ::-1], (1, LANES // m))      # [w, 128]
+    nq = ((w - 1) * m + LANES - 1) // LANES + 1
+    mq = np.zeros((nq, LANES, LANES), np.float32)
+    for c in range(w):
+        d = (w - 1 - c) * m
+        for lam in range(LANES):
+            j_full = lam + d
+            mq[j_full // LANES, j_full % LANES, lam] += hr[c, lam]
+    return mq
+
+
 def _fx_constants(taps_rm, m: int):
     """Tap lane pattern + stage-1/2 block DFT matrices for the fused
     flagship kernels (all jnp constants baked into the jitted program).
@@ -183,7 +204,8 @@ def _fx_constants(taps_rm, m: int):
 
 def _fx_tile_math(i, num, read_group, hr_ref, m1_ref, m2_ref, m3_ref,
                   n1_ref, n2_ref, n3_ref, fd_out, xe_out, fd_acc, xe_acc, *,
-                  tile_rows, w, a, m, fd_pairs, xe_pairs, karatsuba=False):
+                  tile_rows, w, a, m, fd_pairs, xe_pairs, karatsuba=False,
+                  mxu_dtype=jnp.float32, mq_ref=None):
     """Shared per-tile math of the fused flagship kernels.
 
     read_group(gi) must return the [tile_rows + halo, 128] VMEM feed block
@@ -225,30 +247,64 @@ def _fx_tile_math(i, num, read_group, hr_ref, m1_ref, m2_ref, m3_ref,
                 acc = acc + hr_ref[c, :] * merged[q : q + tile_rows, :]
         return acc
 
-    accs = [branch_sums(gi) for gi in range(g)]
+    md = jnp.dtype(mxu_dtype)
+    narrow = md != jnp.dtype(jnp.float32)
+
+    def to_md(x):
+        return x.astype(md) if narrow else x
+
+    if mq_ref is not None:
+        # polyphase branch stage on the MXU: acc = Σ_q feed[q:q+T] @ M_q
+        # (banded shift-and-scale matrices, see _fx_band_matrices) — one
+        # operand cast per group replaces the roll/select/MAC VPU chain
+        nq = mq_ref.shape[0]
+        mats = [to_md(mq_ref[q]) for q in range(nq)]
+
+        def branch_sums_mm(gi):
+            sc = read_group(gi)
+            scm = sc if sc.dtype == md else sc.astype(md)
+            acc = jnp.dot(scm[0:tile_rows], mats[0],
+                          preferred_element_type=jnp.float32)
+            for q in range(1, nq):
+                acc = acc + jnp.dot(scm[q : q + tile_rows], mats[q],
+                                    preferred_element_type=jnp.float32)
+            return acc
+
+        accs = [branch_sums_mm(gi) for gi in range(g)]
+    else:
+        accs = [branch_sums(gi) for gi in range(g)]
     if not karatsuba:
         # reconstruct Fi = ((Fr+Fi) − Fr) once per tile — the 4-mult form
-        # pipelines better on the MXU than Karatsuba here (measured)
-        fi1 = m2_ref[:, :] - m1_ref[:, :]
-        fi2 = n2_ref[:, :] - n1_ref[:, :]
+        # pipelines better on the MXU than Karatsuba here (measured).  The
+        # subtraction runs in f32 (exact) BEFORE any narrowing cast.
+        fi1 = to_md(m2_ref[:, :] - m1_ref[:, :])
+        fi2 = to_md(n2_ref[:, :] - n1_ref[:, :])
+        m1t = to_md(m1_ref[:, :])
+        n1t = to_md(n1_ref[:, :])
+    # mxu_dtype=bfloat16 halves/quarters MXU passes (bf16×bf16→f32 is a
+    # single systolic pass); operands are cast AFTER the f32 branch MACs,
+    # accumulation stays f32.  Exactness matches ≤8-bit quantized ingest
+    # (the reference's IChar mode runs -cl-fast-relaxed-math anyway,
+    # lib/clXEngine_impl.cc:816).
+    accs_m = [to_md(x) for x in accs]
     zs = []
     for ai in range(a):
         if karatsuba:
-            p1 = jnp.dot(accs[ai] + accs[a + ai], m1_ref[:, :],
+            p1 = jnp.dot(to_md(accs[ai] + accs[a + ai]), to_md(m1_ref[:, :]),
                          preferred_element_type=jnp.float32)
-            p2 = jnp.dot(accs[a + ai], m2_ref[:, :],
+            p2 = jnp.dot(accs_m[a + ai], to_md(m2_ref[:, :]),
                          preferred_element_type=jnp.float32)
-            p3 = jnp.dot(accs[ai], m3_ref[:, :],
+            p3 = jnp.dot(accs_m[ai], to_md(m3_ref[:, :]),
                          preferred_element_type=jnp.float32)
             zs.append((p1 - p2, p1 + p3))
         else:
-            zr = (jnp.dot(accs[ai], m1_ref[:, :],
+            zr = (jnp.dot(accs_m[ai], m1t,
                           preferred_element_type=jnp.float32)
-                  - jnp.dot(accs[a + ai], fi1,
+                  - jnp.dot(accs_m[a + ai], fi1,
                             preferred_element_type=jnp.float32))
-            zi = (jnp.dot(accs[ai], fi1,
+            zi = (jnp.dot(accs_m[ai], fi1,
                           preferred_element_type=jnp.float32)
-                  + jnp.dot(accs[a + ai], m1_ref[:, :],
+                  + jnp.dot(accs_m[a + ai], m1t,
                             preferred_element_type=jnp.float32))
             zs.append((zr, zi))
 
@@ -262,23 +318,24 @@ def _fx_tile_math(i, num, read_group, hr_ref, m1_ref, m2_ref, m3_ref,
         rp, ip = zs[psig]
         pr = re0 * rp + im0 * ip
         pi = im0 * rp - re0 * ip
+        prm, pim = to_md(pr), to_md(pi)
         # second-stage (lag) inverse DFT uses the UNREVERSED block matrix —
         # spectra are already in normal channel order
         if karatsuba:
-            q1 = jnp.dot(pr + pi, n1_ref[:, :],
+            q1 = jnp.dot(to_md(pr + pi), to_md(n1_ref[:, :]),
                          preferred_element_type=jnp.float32)
-            q2 = jnp.dot(pi, n2_ref[:, :],
+            q2 = jnp.dot(pim, to_md(n2_ref[:, :]),
                          preferred_element_type=jnp.float32)
-            q3 = jnp.dot(pr, n3_ref[:, :],
+            q3 = jnp.dot(prm, to_md(n3_ref[:, :]),
                          preferred_element_type=jnp.float32)
             zfr = q1 - q2
             zfi = q1 + q3
         else:
-            zfr = (jnp.dot(pr, n1_ref[:, :],
+            zfr = (jnp.dot(prm, n1t,
                            preferred_element_type=jnp.float32)
-                   - jnp.dot(pi, fi2, preferred_element_type=jnp.float32))
-            zfi = (jnp.dot(pr, fi2, preferred_element_type=jnp.float32)
-                   + jnp.dot(pi, n1_ref[:, :],
+                   - jnp.dot(pim, fi2, preferred_element_type=jnp.float32))
+            zfi = (jnp.dot(prm, fi2, preferred_element_type=jnp.float32)
+                   + jnp.dot(pim, n1t,
                              preferred_element_type=jnp.float32))
         mag = jnp.sum(jnp.sqrt(zfr * zfr + zfi * zfi), axis=0)  # [128]
         fd_acc[fidx, :] = fd_acc[fidx, :] + mag
@@ -420,9 +477,11 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
 
 
 def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
-                         m2_ref, m3_ref, n1_ref, n2_ref, n3_ref, fd_out,
-                         xe_out, scratch, fd_acc, xe_acc, sems, *, tile_rows,
-                         halo, w, a, m, fd_pairs, xe_pairs, karatsuba=False):
+                         m2_ref, m3_ref, n1_ref, n2_ref, n3_ref, mq_ref,
+                         fd_out, xe_out, scratch, fd_acc, xe_acc, sems, *,
+                         tile_rows, halo, w, a, m, fd_pairs, xe_pairs,
+                         karatsuba=False, mxu_dtype=jnp.float32,
+                         branch_mxu=False):
     """Concat-free fused flagship kernel: reads the frame's re/im component
     arrays straight from HBM (no host-side packing or history concat) and
     double-buffers the tile DMAs so tile i+1's HBM reads overlap tile i's
@@ -500,7 +559,8 @@ def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
                           m3_ref, n1_ref, n2_ref, n3_ref, fd_out, xe_out,
                           fd_acc, xe_acc, tile_rows=tile_rows, w=w, a=a,
                           m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs,
-                          karatsuba=karatsuba)
+                          karatsuba=karatsuba, mxu_dtype=mxu_dtype,
+                          mq_ref=mq_ref if branch_mxu else None)
 
 
 FX_TAIL_LEN = 8 * LANES  # carried-history samples per stream (float32)
@@ -522,7 +582,8 @@ def fx_tail_len(dtype) -> int:
 def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
                             num_antennas: int, m: int, tile_rows: int = 256,
                             interpret: bool = False, fd_pairs=None,
-                            xe_pairs=None, karatsuba: bool = False):
+                            xe_pairs=None, karatsuba: bool = False,
+                            mxu_dtype=None, branch_mxu=None):
     """Concat-free fused flagship step (flat-layout kernel, v2).
 
     Unlike fx_correlate_streams, the frame is NOT host-concatenated with
@@ -544,6 +605,12 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
         frame's last samples (zeros for the first step).
       taps_rm: [W, m] float32 — branch-major prototype taps (W·m = ntaps).
       fd_pairs / xe_pairs: as in fx_correlate_streams.
+      mxu_dtype: operand dtype for the DFT/lag matmuls (accumulation is
+        always float32).  Default: bfloat16 for bf16/int8 ingest (a single
+        MXU pass; operand rounding sits below the ≤8-bit input quantization
+        floor, and the reference's IChar path compiles with
+        -cl-fast-relaxed-math anyway — lib/clXEngine_impl.cc:816), float32
+        for f32 ingest.  Pass jnp.float32/jnp.bfloat16 to override.
 
     Returns (fd_sum [len(fd_pairs), m], gram [len(xe_pairs), 2m]) — same
     post-processing contract as fx_correlate_streams.
@@ -593,13 +660,27 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
     nfd = len(fd_pairs)
     fd_rows = max(8, nfd)
     xe_rows = max(8, 2 * nb)
+    if mxu_dtype is None:
+        mxu_dtype = (jnp.float32 if jnp.dtype(xr.dtype) == jnp.float32
+                     else jnp.bfloat16)
+    if branch_mxu is None:
+        # default ON: the VPU roll/select stage is the fused kernel's
+        # compute floor, and the banded-matmul branch stage beats it for
+        # every ingest dtype (measured f32 3.87→2.89 ms, int8 2.99→2.21 ms
+        # per 2^23-sample step).  With f32 ingest the matmuls run in f32 —
+        # same dot-product sums, bit-class identical (~1e-7); narrow ingest
+        # uses bf16 operands (exact feed, taps rounded below the 8-bit
+        # quantization floor).
+        branch_mxu = True
+    consts = consts + (jnp.asarray(_fx_band_matrices(taps_rm, m)),)
     fd, xe = pl.pallas_call(
         partial(_fx_stream_kernel_v2, tile_rows=tile_rows, halo=halo, w=w,
                 a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs,
-                karatsuba=karatsuba),
+                karatsuba=karatsuba, mxu_dtype=mxu_dtype,
+                branch_mxu=branch_mxu),
         grid=(out_rows // tile_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(
             pl.BlockSpec((fd_rows, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -144,7 +144,8 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
 
 def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
                            samp_rate: float = 100e6,
-                           in_dtype=jnp.float32):
+                           in_dtype=jnp.float32, mxu_dtype=None,
+                           branch_mxu=None):
     """Maximally fused flagship: ONE flat-layout Pallas kernel does PFB →
     DFT → FD-xcorr accumulation → X-Engine Gram accumulation without ever
     materializing spectra in HBM (pallas_kernels.fx_correlate_streams_v2);
@@ -177,7 +178,8 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
     @jax.jit
     def fn(xr, xi, tr, ti):
         fd_sum, gram = pallas_kernels.fx_correlate_streams_v2(
-            xr, xi, tr, ti, taps_rm, a, m, tile_rows=tile_rows)
+            xr, xi, tr, ti, taps_rm, a, m, tile_rows=tile_rows,
+            mxu_dtype=mxu_dtype, branch_mxu=branch_mxu)
         fd = jnp.roll(fd_sum / nout, m // 2, axis=-1)    # [A-1, M]
         xre = gram[:, :m].T[:, :, None]                  # [F, nb, 1]
         xim = gram[:, m:].T[:, :, None]

@@ -180,7 +180,7 @@ def test_fx_v2_narrow_ingest_dtypes():
             tr_n, ti_n = mk((a, tail_len)), mk((a, tail_len))
         fd_n, xe_n = pallas_kernels.fx_correlate_streams_v2(
             xr_n, xi_n, tr_n, ti_n, np.asarray(taps_rm), a, m,
-            tile_rows=tile, interpret=True)
+            tile_rows=tile, interpret=True, mxu_dtype=jnp.float32)
 
         # f32 reference over the SAME virtual-stream window: the narrow run
         # lags the frame end by tail_len, the f32 run by 1024, so feed the
@@ -197,6 +197,17 @@ def test_fx_v2_narrow_ingest_dtypes():
                                    rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(np.asarray(xe_n), np.asarray(xe_f),
                                    rtol=1e-6, atol=1e-6)
+
+        # the narrow-ingest DEFAULT (bf16 MXU operands, f32 accumulation)
+        # rounds only the taps/DFT entries: relative error must sit below
+        # the 8-bit input quantization floor (~0.4%)
+        fd_d, xe_d = pallas_kernels.fx_correlate_streams_v2(
+            xr_n, xi_n, tr_n, ti_n, np.asarray(taps_rm), a, m,
+            tile_rows=tile, interpret=True)
+        for got, ref in ((fd_d, fd_f), (xe_d, xe_f)):
+            got, ref = np.asarray(got), np.asarray(ref)
+            rel = np.abs(got - ref).max() / np.abs(ref).max()
+            assert rel < 4e-3, rel
 
 
 def test_flat_fused_kernel_dual_pol_8_streams():
