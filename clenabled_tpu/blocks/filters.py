@@ -5,7 +5,30 @@ from __future__ import annotations
 import math
 from fractions import Fraction
 
+import jax.numpy as jnp
 import numpy as np
+
+
+def _resize_tail(vec, new_len: int, keep_recent: bool):
+    """Translate a carried 1-D tail/history to a new length.
+
+    keep_recent=True (input-domain state: TD history, OFS tail): keep the
+    most recent samples, left-pad zeros — exact continuity where the taps
+    agree, a ≤(Δntaps)-sample transient otherwise.  keep_recent=False
+    (output-domain state: the OFA tail t[j] = contribution to future output
+    j): keep the head, right-pad zeros."""
+    cur = vec.shape[-1]
+    if cur == new_len:
+        return vec
+    if keep_recent:
+        if cur > new_len:
+            return vec[..., cur - new_len:]
+        pad = jnp.zeros(vec.shape[:-1] + (new_len - cur,), vec.dtype)
+        return jnp.concatenate([pad, vec], axis=-1)
+    if cur > new_len:
+        return vec[..., :new_len]
+    pad = jnp.zeros(vec.shape[:-1] + (new_len - cur,), vec.dtype)
+    return jnp.concatenate([vec, pad], axis=-1)
 
 from clenabled_tpu.blocks._legacy import strip_legacy_kwargs
 from clenabled_tpu.dsp import channelizer as dsp_chan
@@ -33,6 +56,7 @@ class Filter(Block):
 
     def _set(self, taps):
         self._taps = taps
+        ntaps = int(np.shape(taps)[-1])
         if self.use_time:
             if self.planar:
                 import jax
@@ -44,6 +68,7 @@ class Filter(Block):
                     self._init, self._apply = dsp_fir.make_fir_filter_planar(
                         taps, self.decimation, tile_rows=8)
                     self.quantum = math.lcm(1024, self.decimation)
+                    self._state_kind, self._state_len = "td", ntaps - 1
                     return
                 self._init, self._apply = dsp_fir.make_fir_filter_planar_xla(
                     taps, self.decimation)
@@ -51,6 +76,7 @@ class Filter(Block):
                 self._init, self._apply = dsp_fir.make_fir_filter(
                     taps, self.decimation, complex_input=True)
             self.quantum = self.decimation
+            self._state_kind, self._state_len = "td", ntaps - 1
         else:
             if self.planar:
                 self._init, self._apply, self._plan = (
@@ -59,16 +85,43 @@ class Filter(Block):
                 self._init, self._apply, self._plan = dsp_ofa.make_fft_filter(
                     taps, self.decimation)
             self.quantum = dsp_ofa.frame_quantum(self._plan)
+            if hasattr(self._plan, "tail_len"):      # fused OFS Pallas plan
+                self._state_kind = "ofs"             # input-domain tail
+                self._state_len = self._plan.tail_len
+            else:                                    # OFA: output-domain tail
+                self._state_kind, self._state_len = "ofa", ntaps - 1
 
     def taps(self):
         return self._taps
 
     def set_taps(self, taps):
-        """Rebuild for new taps (clFilter_impl.cc:417-479).  NOTE: resets
-        carried filter state; call Runner.reset() or re-compile after."""
-        self._set(np.asarray(taps, np.float32))
+        """Rebuild kernels/plans for new taps at runtime
+        (clFilter_impl.cc:417-479).  Inside a running flowgraph use
+        Runner.set_taps(block, taps) — it re-traces the step and carries
+        the filter tail across the rebuild (migrate_state), so the stream
+        continues without a reset."""
+        self._old_kind = getattr(self, "_state_kind", None)
+        self._set(np.asarray(
+            taps, np.complex64 if np.iscomplexobj(taps) else np.float32))
 
     set_taps2 = set_taps
+
+    def migrate_state(self, old_state):
+        """Translate the carried tail across a set_taps rebuild: where old
+        and new taps agree the output stream is unchanged; otherwise the
+        transient is bounded by the tap-count delta (input-domain state) or
+        the old tail length (output-domain state)."""
+        old_kind = getattr(self, "_old_kind", None)
+        self._old_kind = None
+        if old_kind is None:               # no reconfiguration since last time
+            return old_state
+        if old_kind != self._state_kind:   # plan family changed — no mapping
+            return self.init_state()
+        keep_recent = self._state_kind in ("td", "ofs")
+        if isinstance(old_state, tuple):
+            return tuple(_resize_tail(s, self._state_len, keep_recent)
+                         for s in old_state)
+        return _resize_tail(old_state, self._state_len, keep_recent)
 
     def init_state(self):
         return self._init()
@@ -94,6 +147,7 @@ class ComplexFilter(Filter):
 
     def _set(self, taps):
         self._taps = taps
+        ntaps = int(np.shape(taps)[-1])
         if self.use_time:
             if self.planar:
                 self._init, self._apply = dsp_fir.make_fir_filter_planar_xla(
@@ -102,6 +156,7 @@ class ComplexFilter(Filter):
                 self._init, self._apply = dsp_fir.make_fir_filter(
                     taps, self.decimation, complex_input=True)
             self.quantum = self.decimation
+            self._state_kind, self._state_len = "td", ntaps - 1
         else:
             if self.planar:
                 self._init, self._apply, self._plan = (
@@ -110,10 +165,16 @@ class ComplexFilter(Filter):
                 self._init, self._apply, self._plan = dsp_ofa.make_fft_filter(
                     taps, self.decimation)
             self.quantum = dsp_ofa.frame_quantum(self._plan)
+            if hasattr(self._plan, "tail_len"):
+                self._state_kind = "ofs"
+                self._state_len = self._plan.tail_len
+            else:
+                self._state_kind, self._state_len = "ofa", ntaps - 1
 
     def set_taps(self, taps):
-        """Rebuild for new COMPLEX taps (clComplexFilter set_taps2).  NOTE:
-        resets carried filter state; re-compile the flowgraph after."""
+        """Rebuild for new COMPLEX taps (clComplexFilter set_taps2); use
+        Runner.set_taps for a live retune with carried state."""
+        self._old_kind = getattr(self, "_state_kind", None)
         self._set(np.asarray(taps, np.complex64))
 
     set_taps2 = set_taps

@@ -44,6 +44,17 @@ class Block:
         """
         raise NotImplementedError
 
+    def migrate_state(self, old_state) -> Any:
+        """Map carried state across a live reconfiguration (Runner.refresh).
+
+        The reference rebuilds kernels/buffers at runtime while the
+        flowgraph keeps running (set_taps, lib/clFilter_impl.cc:417-479);
+        here a reconfigured block translates its old state pytree into the
+        new configuration's shape.  Default: identity (unchanged blocks
+        keep their stream state).  Blocks whose reconfiguration changes the
+        state shape MUST override this (see blocks.filters.Filter)."""
+        return old_state
+
     def out_frame(self, in_frame: int) -> int:
         """Output frame length for a given input frame length."""
         if self.n_inputs == 0:

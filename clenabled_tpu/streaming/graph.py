@@ -91,6 +91,14 @@ class Flowgraph:
         return order
 
     def compile(self, frame_size: int = 8192) -> "Runner":
+        order, step, frames = self._build(frame_size)
+        return Runner(self, order, step, frames, frame_size)
+
+    def _build(self, frame_size: int):
+        """Topo-sort, propagate frame sizes, and build the (unjitted) step
+        closure.  Called by compile() and again by Runner.refresh() after a
+        live block reconfiguration (set_taps) — the closure reads each
+        block's current apply, so a rebuild picks up new taps/kernels."""
         order = self._toposort()
         in_edges: dict[int, dict[int, _Edge]] = {id(b): {} for b in self._blocks}
         for e in self._edges:
@@ -124,7 +132,7 @@ class Flowgraph:
             values: dict[tuple[int, int], Any] = {}
             new_states = list(states)
             messages: dict[str, Any] = {}
-            for b in order:
+            for i, b in enumerate(order):
                 ins = []
                 for p in range(b.n_inputs):
                     if (id(b), p) in ext_ports:
@@ -132,7 +140,6 @@ class Flowgraph:
                     else:
                         e = in_edges[id(b)][p]
                         ins.append(values[(id(e.src), e.src_port)])
-                i = order.index(b)
                 st, outs, msgs = b.apply(states[i], ins)
                 new_states[i] = st
                 for p, v in enumerate(outs):
@@ -142,7 +149,7 @@ class Flowgraph:
             tapped = {name: values[(id(s), p)] for s, p, name in taps}
             return tuple(new_states), tapped, messages
 
-        return Runner(self, order, step, frames, frame_size)
+        return order, step, frames
 
 
 class Runner:
@@ -212,6 +219,34 @@ class Runner:
 
     def reset(self) -> None:
         self.states = tuple(b.init_state() for b in self._order)
+
+    # ---- live reconfiguration (the reference's runtime set_taps,
+    # lib/clFilter_impl.cc:417-479: kernels/buffers rebuild while the
+    # flowgraph keeps running) -------------------------------------------
+
+    def refresh(self) -> None:
+        """Re-trace the step after block reconfiguration (e.g. set_taps)
+        and migrate every block's carried state into its new configuration
+        (Block.migrate_state) — the stream continues without a reset.
+
+        Raises if the new configuration is incompatible with the current
+        frame size (quantum/rate checks re-run)."""
+        order, step, frames = self._graph._build(self.frame_size)
+        if [id(b) for b in order] != [id(b) for b in self._order]:
+            raise ValueError("refresh() cannot change the block set; "
+                             "build a new flowgraph instead")
+        self._step = jax.jit(step)
+        self.frames = frames
+        self.states = tuple(
+            b.migrate_state(st) for b, st in zip(self._order, self.states))
+
+    def set_taps(self, block, taps) -> None:
+        """Live filter retune: block.set_taps(taps) + refresh() in one call.
+        The filter's carried tail is translated, not reset — where old and
+        new taps agree the output stream is bit-identical to an
+        uninterrupted run (tests/test_retune.py)."""
+        block.set_taps(taps)
+        self.refresh()
 
     # ---- checkpoint / resume -------------------------------------------
     # The reference has no checkpointing (SURVEY §5); its "state" hides in
