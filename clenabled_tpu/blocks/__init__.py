@@ -60,6 +60,8 @@ from clenabled_tpu.blocks.filters import (  # noqa: F401
     BandRejectFilter,
     RootRaisedCosineFilter,
     FIRTapFilter,
+    FirFilterSCC,
+    FirFilterFSF,
     PolyphaseChannelizer,
 )
 from clenabled_tpu.blocks.demod import QuadratureDemod, CostasLoop  # noqa: F401

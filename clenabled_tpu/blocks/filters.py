@@ -234,6 +234,59 @@ def FIRTapFilter(decimation, taps, use_time=False, planar=False,
                   name=name, **legacy)
 
 
+class FirFilterSCC(Block):
+    """short→complex FIR block (the reference's fir_filter_scc CPU variant,
+    lib/fir_filter.h:160): int16 stream in, complex taps, complex64 out —
+    the DTYPE_SHORT stream path through the block layer."""
+
+    def __init__(self, decimation: int, taps, name: str = "scc", **legacy):
+        strip_legacy_kwargs(legacy)
+        self.name = name
+        self.decimation = decimation
+        self.rate = Fraction(1, decimation)
+        self.quantum = decimation
+        self._taps = np.asarray(taps, np.complex64)
+        self._init, self._apply = dsp_fir.make_fir_filter_typed(
+            self._taps, decimation, in_dtype=jnp.int16)
+
+    def taps(self):
+        return self._taps
+
+    def init_state(self):
+        return self._init()
+
+    def apply(self, state, inputs):
+        state, out = self._apply(state, inputs[0])
+        return state, (out,), {}
+
+
+class FirFilterFSF(Block):
+    """float→short FIR block (the reference's fir_filter_fsf CPU variant,
+    lib/fir_filter.h:192): float32 stream in, float taps, int16 out with
+    C truncation-toward-zero narrowing."""
+
+    def __init__(self, decimation: int, taps, name: str = "fsf", **legacy):
+        strip_legacy_kwargs(legacy)
+        self.name = name
+        self.decimation = decimation
+        self.rate = Fraction(1, decimation)
+        self.quantum = decimation
+        self._taps = np.asarray(taps, np.float32)
+        self._init, self._apply = dsp_fir.make_fir_filter_typed(
+            self._taps, decimation, in_dtype=jnp.float32,
+            out_dtype=jnp.int16)
+
+    def taps(self):
+        return self._taps
+
+    def init_state(self):
+        return self._init()
+
+    def apply(self, state, inputs):
+        state, out = self._apply(state, inputs[0])
+        return state, (out,), {}
+
+
 class PolyphaseChannelizer(Block):
     """clPolyphaseChannelizer (lib/clPolyphaseChannelizer_impl.cc): M-channel
     PFB with oversampling (ninputs_per_iter ≤ M) and output channel map.

@@ -173,6 +173,59 @@ def make_fir_filter_planar(taps, decimation: int = 1, tile_rows: int = 256,
     return init_state, apply
 
 
+def fir_filter_scc(x, taps, decimation: int = 1):
+    """short→complex FIR (reference fir_filter_scc, lib/fir_filter.h:160):
+    int16 samples widened to float32, complex taps, complex64 output.
+
+    x: [ntaps-1 + n] int16 (history at the front); taps: [ntaps] complex64.
+    """
+    x = jnp.asarray(x, jnp.int16).astype(jnp.float32)
+    taps = jnp.asarray(taps, jnp.complex64)
+    return fir_filter(x, taps, decimation)
+
+
+def fir_filter_fsf(x, taps, decimation: int = 1):
+    """float→short FIR (reference fir_filter_fsf, lib/fir_filter.h:192):
+    float32 dot product, output cast to int16 with C truncation-toward-zero
+    semantics (volk_32f_x2_dot_prod_16i's ``(int16_t)dotProduct``)."""
+    x = jnp.asarray(x, jnp.float32)
+    taps = jnp.asarray(taps, jnp.float32)
+    y = fir_filter(x, taps, decimation)
+    return y.astype(jnp.int16)
+
+
+def make_fir_filter_typed(taps, decimation: int = 1,
+                          in_dtype=jnp.complex64, out_dtype=None):
+    """Streaming FIR with explicit stream dtypes — covers the reference's
+    six CPU variants fff/ccf/fcc/ccc/scc/fsf (lib/fir_filter.h:32-192).
+
+    The carried history keeps the INPUT dtype (int16 history costs half a
+    float32 one); widening happens per frame on device.  out_dtype=jnp.int16
+    reproduces fsf's truncation-toward-zero narrowing."""
+    taps = jnp.asarray(taps)
+    ntaps = int(taps.shape[-1])
+    in_dtype = jnp.dtype(in_dtype)
+
+    def init_state(frame_size: int | None = None):
+        del frame_size
+        return jnp.zeros((ntaps - 1,), dtype=in_dtype)
+
+    @jax.jit
+    def apply(history, frame):
+        frame = jnp.asarray(frame, in_dtype)
+        full = jnp.concatenate([history, frame], axis=-1)
+        xf = full
+        if in_dtype == jnp.int16:
+            xf = full.astype(jnp.float32)
+        out = fir_filter(xf, taps, decimation)
+        if out_dtype is not None:
+            out = out.astype(out_dtype)
+        new_history = full[..., full.shape[-1] - (ntaps - 1):]
+        return new_history, out
+
+    return init_state, apply
+
+
 def make_fir_filter(taps, decimation: int = 1, complex_input: bool = True):
     """Streaming form: (init_state, apply) where state is the carried
     ``ntaps-1``-sample history (the role of GR's set_history).

@@ -140,6 +140,22 @@ def main() -> None:
     T.report(f"FFT filter ({len(taps)} taps)", nn, T.time_stateful(
         oapp, oini(), a2, iterations=it))
 
+    # short-dtype FIR variants (reference fir_filter_scc/fsf,
+    # lib/fir_filter.h:160,192)
+    import numpy as np
+
+    ctaps = (taps + 1j * taps[::-1]).astype(np.complex64)
+    sini, sapp = fir_filter.make_fir_filter_typed(
+        ctaps, in_dtype=jnp.int16)
+    xs = jax.device_put(
+        np.random.default_rng(6).integers(-2000, 2000, n, dtype=np.int16))
+    T.report(f"FIR scc ({len(taps)} taps, short in)", n, T.time_stateful(
+        sapp, sini(), xs, iterations=it))
+    fsini, fsapp = fir_filter.make_fir_filter_typed(
+        taps, in_dtype=jnp.float32, out_dtype=jnp.int16)
+    T.report(f"FIR fsf ({len(taps)} taps, short out)", n, T.time_stateful(
+        fsapp, fsini(), f, iterations=it))
+
     if args.testcostas:
         run = demod.make_costas_loop(0.02, 2)
         T.report("costas loop (order 2)", n, T.time_stateful(
