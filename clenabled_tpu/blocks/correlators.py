@@ -29,7 +29,8 @@ class XCorrelate(Block):
     def __init__(self, num_inputs: int, signal_length: int = 8192,
                  data_type: int = 1, data_size: int = 8,
                  max_search_index: int = 512, decim_frames: int = 1,
-                 asynchronous: bool = False, name: str = "xcorr", **legacy):
+                 asynchronous: bool = False, accumulate_frames: int = 1,
+                 name: str = "xcorr", **legacy):
         legacy.pop("async", None)
         strip_legacy_kwargs(legacy)
         del data_type, data_size, asynchronous  # dtype comes from the stream
@@ -40,39 +41,64 @@ class XCorrelate(Block):
         self.signal_length = signal_length
         self.max_shift = max_search_index
         self.decim_frames = max(1, decim_frames)
-        self.quantum = signal_length
+        # >1 dispatches N analysis windows per device call — the lag scan is
+        # dispatch-bound at the reference's 8192-sample default, so batching
+        # windows is the throughput lever (BENCH_TPU.md); results gain a
+        # leading window axis in the "corr" message
+        self.accumulate_frames = max(1, accumulate_frames)
+        self.quantum = signal_length * self.accumulate_frames
 
     def init_state(self):
-        return jnp.int32(0)  # frame counter
+        return jnp.int32(0)  # analysis-window counter
 
     def apply(self, state, inputs):
         from clenabled_tpu.dsp import planar
 
+        nb = self.accumulate_frames
+        sl = self.signal_length
+
+        def windows(x):
+            """[..., nb·sl] → [nb, sl] windows of one input stream."""
+            return x[..., : nb * sl].reshape(nb, sl)
+
         if isinstance(inputs[0], planar.PC):
-            mags = [planar.pabs(planar.PC(x.re[..., : self.signal_length],
-                                          x.im[..., : self.signal_length]))
+            mags = [planar.pabs(planar.PC(windows(x.re), windows(x.im)))
                     for x in inputs]
-            sigs = jnp.stack(mags)
-            correlate = lambda s: dsp_xcorr.td_xcorr_planar(s, self.max_shift)
+            sigs = jnp.stack(mags)             # [A, nb, sl]
+            correlate = lambda s: dsp_xcorr.td_xcorr_planar_batched(
+                s, self.max_shift)
         else:
-            sigs = jnp.stack([x[..., : self.signal_length] for x in inputs])
-            correlate = lambda s: dsp_xcorr.td_xcorr(s, self.max_shift)
-        run = state % self.decim_frames == 0
+            sigs = jnp.stack([windows(x) for x in inputs])
+            correlate = lambda s: dsp_xcorr.td_xcorr_batched(s, self.max_shift)
+        # 1-in-N frame decimation (:1540-1548) as a per-window validity
+        # mask over the global window counter
+        widx = state + jnp.arange(nb, dtype=jnp.int32)
+        valid = widx % self.decim_frames == 0   # [nb]
+        if nb == 1:
+            # single window: skipped frames cost nothing (lax.cond)
+            na = self.n_inputs - 1
 
-        def compute(s):
-            r = correlate(s)
-            return r.corr, r.lag, r.corr_vectors
+            def compute(s):
+                r = correlate(s)
+                return r.corr, r.lag, r.corr_vectors
 
-        def skip(s):
-            n = self.n_inputs - 1
-            return (jnp.zeros((n,), jnp.float32),
-                    jnp.zeros((n,), jnp.int32),
-                    jnp.zeros((n, 2 * self.max_shift), jnp.float32))
+            def skip(s):
+                return (jnp.zeros((na, 1), jnp.float32),
+                        jnp.zeros((na, 1), jnp.int32),
+                        jnp.zeros((na, 1, 2 * self.max_shift), jnp.float32))
 
-        corr, lag, vectors = jax.lax.cond(run, compute, skip, sigs)
+            res_c, res_l, res_v = jax.lax.cond(valid[0], compute, skip, sigs)
+            corr, lag, vectors = res_c[:, 0], res_l[:, 0], res_v[:, 0]
+            valid = valid[0]
+        else:
+            res = correlate(sigs)
+            # leading window axis: [nb, A-1(, 2·max_shift)]
+            corr = jnp.swapaxes(res.corr, 0, 1)
+            lag = jnp.swapaxes(res.lag, 0, 1)
+            vectors = jnp.swapaxes(res.corr_vectors, 0, 1)
         msg = {"corr": {"corr": corr, "corrective_lags": lag,
-                        "corrvect": vectors, "valid": run}}
-        return state + 1, (), msg
+                        "corrvect": vectors, "valid": valid}}
+        return state + nb, (), msg
 
 
 class XCorrelateFFTVCF(Block):
@@ -81,7 +107,8 @@ class XCorrelateFFTVCF(Block):
     input_type=1 expects spectra; 2 raw time series (FFT applied first)."""
 
     def __init__(self, fft_size: int, num_inputs: int, input_type: int = 1,
-                 name: str = "fd_xcorr", **legacy):
+                 accumulate_frames: int = 1, name: str = "fd_xcorr",
+                 **legacy):
         strip_legacy_kwargs(legacy)
         if num_inputs < 2:
             raise ValueError("needs >= 2 inputs")
@@ -90,7 +117,13 @@ class XCorrelateFFTVCF(Block):
         self.n_inputs = num_inputs
         self.n_outputs = num_inputs - 1
         self.perform_fft_first = input_type == 2
-        self.quantum = fft_size
+        # the per-vector math already batches every vector in the frame in
+        # ONE dispatch; accumulate_frames raises the frame quantum so the
+        # Runner feeds ≥N vectors per step — at the reference's 8192-pt
+        # default one vector/dispatch is ~60× slower than batched
+        # (BENCH_TPU.md), so this is the block-API throughput lever
+        self.accumulate_frames = max(1, accumulate_frames)
+        self.quantum = fft_size * self.accumulate_frames
 
     def apply(self, state, inputs):
         from clenabled_tpu.dsp import planar

@@ -137,6 +137,22 @@ def td_xcorr_batched(signals, max_shift: int) -> "XCorrResult":
     )
 
 
+def td_xcorr_planar_batched(mags, max_shift: int) -> "XCorrResult":
+    """Planar td_xcorr over batched windows: mags [nsignals, B, n] float32
+    → XCorrResult with leading [nsignals-1, B] dims (the complex-free
+    counterpart of td_xcorr_batched)."""
+    mags = jnp.asarray(mags, jnp.float32)
+    ref = mags[0]                       # [B, n]
+    pair = jax.vmap(lambda r, s: _td_xcorr_pair_planar(r, s, max_shift))
+    scan = jax.vmap(lambda s: pair(ref, s))(mags[1:])
+    best = jnp.argmax(scan, axis=-1)
+    return XCorrResult(
+        corr=jnp.take_along_axis(scan, best[..., None], axis=-1)[..., 0],
+        lag=(best - max_shift).astype(jnp.int32),
+        corr_vectors=scan,
+    )
+
+
 def td_xcorr_planar(mags, max_shift: int) -> "XCorrResult":
     """Complex-free td_xcorr over magnitude (or real float) sequences
     [nsignals, n] — for complex streams, take planar.pabs first."""

@@ -145,7 +145,7 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
 def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
                            samp_rate: float = 100e6,
                            in_dtype=jnp.float32, mxu_dtype=None,
-                           branch_mxu=None):
+                           branch_mxu=None, interpret: bool | None = None):
     """Maximally fused flagship: ONE flat-layout Pallas kernel does PFB →
     DFT → FD-xcorr accumulation → X-Engine Gram accumulation without ever
     materializing spectra in HBM (pallas_kernels.fx_correlate_streams_v2);
@@ -161,6 +161,8 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
 
     a = cfg.num_antennas
     m = cfg.num_channels
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
                             samp_rate / (2 * m) * 0.2)
     proto = np.concatenate(
@@ -179,7 +181,8 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
     def fn(xr, xi, tr, ti):
         fd_sum, gram = pallas_kernels.fx_correlate_streams_v2(
             xr, xi, tr, ti, taps_rm, a, m, tile_rows=tile_rows,
-            mxu_dtype=mxu_dtype, branch_mxu=branch_mxu)
+            mxu_dtype=mxu_dtype, branch_mxu=branch_mxu,
+            interpret=interpret)
         fd = jnp.roll(fd_sum / nout, m // 2, axis=-1)    # [A-1, M]
         xre = gram[:, :m].T[:, :, None]                  # [F, nb, 1]
         xim = gram[:, m:].T[:, :, None]

@@ -1,0 +1,120 @@
+"""End-to-end host-ingest benchmark for the flagship pipeline.
+
+The reference's sustained numbers are end-to-end through its pinned
+double-buffered host feed (lib/clXEngine_impl.cc:325-366); this tool
+measures the TPU equivalent for the fused flagship kernel and separates
+the three rates that bound it:
+
+  link   — raw host→device bandwidth for the frame arrays alone
+  device — the fused kernel consuming device-resident frames
+  e2e    — HostIngest pipeline: prefetch-threaded device_put feeding the
+           kernel, wall-clocked around everything
+
+Sustained end-to-end throughput = min(link, device) when the feed and the
+compute overlap; a shortfall below that min is pipeline loss.  Narrow
+ingest (int8 = the reference's IChar format) quarters the link bytes per
+sample, which is why it is the production default for link-bound setups.
+
+Usage: python -m clenabled_tpu.tools.test_ingest [--cpu] [--steps N]
+           [--samples-per-step LOG2] [--dtype f32|int8|both]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def _bench_dtype(in_dtype_name: str, n_log2: int, steps: int) -> None:
+    import jax
+    import numpy as np
+
+    from clenabled_tpu.pipelines import (FxPipelineConfig,
+                                         make_fx_pipeline_fused)
+    from clenabled_tpu.streaming.ingest import HostIngest
+
+    jnp_dtype = {"f32": np.float32, "int8": np.int8}[in_dtype_name]
+    cfg = FxPipelineConfig(num_antennas=4, num_channels=16,
+                           samples_per_step=1 << n_log2)
+    fn, (xr, xi, tr, ti) = make_fx_pipeline_fused(cfg, in_dtype=jnp_dtype)
+    a, n = xr.shape
+    dev = jax.devices()[0]
+
+    rng = np.random.default_rng(0)
+    if jnp_dtype == np.int8:
+        frames = [(rng.integers(-100, 100, (a, n), dtype=np.int8),
+                   rng.integers(-100, 100, (a, n), dtype=np.int8))
+                  for _ in range(4)]
+    else:
+        frames = [(rng.standard_normal((a, n)).astype(np.float32),
+                   rng.standard_normal((a, n)).astype(np.float32))
+                  for _ in range(4)]
+    frame_bytes = frames[0][0].nbytes * 2
+
+    # 1) link-only
+    up = [jax.device_put(f, dev) for f in frames[0]]
+    jax.block_until_ready(up)
+    reps = max(3, steps // 4)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        up = [jax.device_put(f, dev) for f in frames[i % len(frames)]]
+    jax.block_until_ready(up)
+    link_s = (time.perf_counter() - t0) / reps
+    link_gbs = frame_bytes / link_s / 1e9
+    link_msps = n / link_s / 1e6
+
+    # 2) device-only
+    dr = jax.device_put(frames[0][0], dev)
+    di = jax.device_put(frames[0][1], dev)
+    out = fn(dr, di, tr, ti)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    ctr, cti = tr, ti
+    for _ in range(steps):
+        fd, xre, xim, ctr, cti = fn(dr, di, ctr, cti)
+    jax.block_until_ready((fd, ctr))
+    dev_s = (time.perf_counter() - t0) / steps
+    dev_msps = n / dev_s / 1e6
+
+    # 3) end-to-end through HostIngest
+    def step(carry, fr, fi):
+        fd, xre, xim, ntr, nti = fn(fr, fi, carry[0], carry[1])
+        return (ntr, nti), (fd, xre, xim)
+
+    step = jax.jit(step)
+    ing = HostIngest(step, (tr, ti), samples_per_frame=n, prefetch=2)
+    # warm the jit before timing
+    ing.run(iter(frames[:1]))
+    ing = HostIngest(step, (tr, ti), samples_per_frame=n, prefetch=2)
+    stats = ing.run((frames[i % len(frames)] for i in range(steps)))
+    e2e_msps = stats.msps
+    eff = e2e_msps / min(link_msps, dev_msps) * 100
+
+    print(f"[{in_dtype_name}] frame {n>>20}Mi samples/ant x{a} "
+          f"({frame_bytes/1e6:.0f} MB)")
+    print(f"  link  h2d      {link_gbs:7.3f} GB/s = {link_msps:10.1f} MSPS")
+    print(f"  device step    {dev_s*1e3:7.2f} ms   = {dev_msps:10.1f} MSPS")
+    print(f"  end-to-end     {stats['wall_s']/stats['steps']*1e3:7.2f} ms   "
+          f"= {e2e_msps:10.1f} MSPS  ({eff:.0f}% of min(link, device))")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="host-ingest flagship benchmark")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--samples-per-step", type=int, default=22,
+                    help="log2 samples per antenna per step")
+    ap.add_argument("--dtype", choices=["f32", "int8", "both"],
+                    default="both")
+    args = ap.parse_args()
+
+    from clenabled_tpu.tools import _timing as T
+    T.select_platform(args)
+    print(f"platform: {T.platform_banner()}")
+    names = ["f32", "int8"] if args.dtype == "both" else [args.dtype]
+    for nm in names:
+        _bench_dtype(nm, args.samples_per_step, args.steps)
+
+
+if __name__ == "__main__":
+    main()
