@@ -296,7 +296,7 @@ class PolyphaseChannelizer(Block):
 
     def __init__(self, taps, buf_items: int, num_channels: int,
                  ninputs_per_iter: int, ch_map, planar: bool = False,
-                 name: str = "", **legacy):
+                 fused: bool = False, name: str = "", **legacy):
         strip_legacy_kwargs(legacy)
         if buf_items % num_channels:
             raise ValueError("buf_items must be a multiple of num_channels")
@@ -309,9 +309,23 @@ class PolyphaseChannelizer(Block):
         self.quantum = buf_items
         self.rate = Fraction(len(self.ch_map), ninputs_per_iter)
         self.planar = planar
-        self._init, self._apply = dsp_chan.make_channelizer(
-            taps, num_channels, ninputs_per_iter, self.ch_map, planar=planar
-        )
+        if fused and ninputs_per_iter < num_channels:
+            # oversampled fused Pallas kernel (planar frames only): 3.3×
+            # the XLA phase-split path; output stream equals the XLA one
+            # for an input delayed by OS_TAIL_LEN − ntaps + 1 samples
+            # (fixed pipeline latency, dsp.channelizer docstring)
+            if not planar:
+                raise ValueError("fused oversampled channelizer is planar-only")
+            if buf_items % 1024:
+                raise ValueError("fused path needs buf_items % 1024 == 0")
+            self._init, self._apply = \
+                dsp_chan.make_channelizer_fused_oversampled(
+                    taps, num_channels, ninputs_per_iter, self.ch_map)
+        else:
+            self._init, self._apply = dsp_chan.make_channelizer(
+                taps, num_channels, ninputs_per_iter, self.ch_map,
+                planar=planar
+            )
 
     def init_state(self):
         return self._init()

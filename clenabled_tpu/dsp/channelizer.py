@@ -290,6 +290,84 @@ def polyphase_channelize(x, taps, num_channels: int, ninputs_per_iter: int,
                        ninputs_per_iter=ninputs_per_iter, ntaps=ntaps)
 
 
+def fused_oversampled_supported(num_channels: int, ninputs_per_iter: int,
+                                ntaps: int) -> bool:
+    """Whether the fused Pallas oversampled kernel covers this config
+    (R | M, the oversampling factor divides the 128/M lane groups, and the
+    tap reach fits the carried-tail halo)."""
+    from clenabled_tpu.dsp import pallas_kernels
+
+    m, r = num_channels, ninputs_per_iter
+    if r >= m or m % r or 128 % m or (128 // m) % (m // r):
+        return False
+    w = -(-ntaps // m)
+    reach = (w - 1) * m + (m // r - 1) * r
+    return reach // 128 + 2 <= pallas_kernels.OS_TAIL_LEN // 128
+
+
+def make_channelizer_fused_oversampled(taps, num_channels: int,
+                                       ninputs_per_iter: int, ch_map,
+                                       interpret: bool | None = None):
+    """Streaming oversampled channelizer on the fused Pallas kernel
+    (pallas_kernels.pfb_oversampled_fused): (init_state, apply) over
+    planar.PC frames, state = (tail_re, tail_im) of OS_TAIL_LEN samples.
+
+    Output timing: the stream equals the XLA path's output for the input
+    delayed by OS_TAIL_LEN − ntaps + 1 samples (a fixed pipeline latency —
+    the kernel's carried tail is row-aligned, exactly like the flagship
+    fx_correlate_streams_v2).  Frame lengths must be multiples of 1024 and
+    of lcm(M, R·L); measured 1,596 Msps at 16ch/R=8 vs 483 for the XLA
+    phase-split path (BENCH_TPU.md)."""
+    from clenabled_tpu.dsp import pallas_kernels
+    from clenabled_tpu.dsp import planar as pl_mod
+
+    m, r = num_channels, ninputs_per_iter
+    taps_rm, ntaps = _pfb_constants(taps, m, r)
+    if not fused_oversampled_supported(m, r, ntaps):
+        raise ValueError(
+            f"fused oversampled kernel does not support M={m}, R={r}, "
+            f"ntaps={ntaps} (requires R | M, (128/M) % (M/R) == 0)")
+    taps_np = np.asarray(taps_rm)
+    ch_list = [int(c) for c in ch_map]
+    h = pallas_kernels.OS_TAIL_LEN
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    identity_map = ch_list == list(range(m))
+
+    def init_state(frame_size: int | None = None):
+        del frame_size
+        z = jnp.zeros((h,), jnp.float32)
+        return (z, z)
+
+    @jax.jit
+    def apply(state, frame):
+        n = frame.re.shape[-1]
+        tile = 256
+        while (n // 128) % tile:
+            tile //= 2
+        zr, zi = pallas_kernels.pfb_oversampled_fused(
+            frame.re, frame.im, state[0], state[1], taps_np, m, r,
+            tile_rows=tile, interpret=interpret,
+            flat_output=identity_map)
+        if identity_map:
+            # the kernel's flat [rows, L, 128] layout IS the interleaved
+            # [n/r, m] group stream — reshape to the 2-D view is a
+            # relayout (m-lane minor, padded ~8×), but the 1-D view is
+            # free, so keep 2-D only as a view for the caller
+            zr = zr.reshape(n // r, m)
+            zi = zi.reshape(n // r, m)
+        else:
+            # static channel subset: per-channel slices + stack (an array
+            # index would lower to a TPU gather, measured ~30× slower)
+            zr = jnp.stack([zr[:, c] for c in ch_list], axis=-1)
+            zi = jnp.stack([zi[:, c] for c in ch_list], axis=-1)
+        out = pl_mod.PC(zr, zi)
+        return (frame.re[..., n - h:], frame.im[..., n - h:]), out
+
+    return init_state, apply
+
+
 def make_channelizer(taps, num_channels: int, ninputs_per_iter: int, ch_map,
                      planar: bool = False):
     """Streaming form: (init_state, apply); state = T-1 history samples.

@@ -710,6 +710,295 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
     return fd_sum, gram
 
 
+# ---------------------------------------------------------------------------
+# Fused oversampled (R < M) PFB channelizer.
+#
+# The XLA phase-split path (channelizer._pfb_oversampled_planar) re-reads the
+# packed stream W times per phase from HBM; this kernel reads each input
+# sample once.  Output phase decomposition for R | M (L = M/R phases):
+# global output group i = p + L·u has commutator window start i·R =
+# p·R + u·M, so each phase is the critically-sampled banded-matmul branch
+# stage with a constant extra sample offset p·R folded into the band
+# matrices, and the oversampling rotation (j + i·(M−R)) mod M is constant
+# within a phase (L·(M−R) ≡ 0 mod M) — folded into per-phase rotated block
+# DFT matrices.  Reference semantics: lib/clPolyphaseChannelizer_impl.cc
+# :156-167 (filterpfb2 commutator + rotation), :208-225 (batched reverse
+# FFT, scale 1.0).
+# ---------------------------------------------------------------------------
+
+OS_TAIL_LEN = 8 * LANES  # carried-history samples (float32 path)
+
+
+def _pfb_os_constants(taps_rm, m: int, r: int, i_offset: int = 0):
+    """Whole-channelizer banded matrices for the fused oversampled kernel.
+
+    The PFB branch stage and the rotated inverse DFT are both linear, so
+    they collapse into ONE banded family per output-row class f:
+        out_f = Σ_q feed[q : q+T] @ E[q, f]
+    with E[q, f] = Σ_p mq[p, q] @ D[p, f], where
+
+    * mq[p, q, j, λ] = hr[c, λ] whenever λ + (w−1−c)·m + p·r = q·128 + j
+      (hr[c, λ] = taps[c·m + (m−1−λ%m)]) — the phase-p branch sums;
+    * D[p, f] = phase p's rotated inverse-DFT block matrix (lane reversal
+      + static oversampling rotation folded in) with COLUMNS permuted so
+      out_f lands in the final phase-INTERLEAVED row layout: out row
+      or = L·t + f holds global groups i = 8·or + k, whose phase is
+      k mod L (L | 8 required) and whose source slot in acc row t is
+      (8f + k) // L.
+
+    Collapsing the stages cuts the per-tile f32 MXU call count ~40% (the
+    kernel is MXU-pass-bound: a separate branch+DFT formulation measured
+    0.98 GSPS, the XLA-side interleave one 0.53) and removes every
+    intermediate VMEM tensor.  Returns (er, ei): [nq, L, 128, 128] each."""
+    t_np = np.asarray(taps_rm, np.float32)            # [w, m]
+    w = t_np.shape[0]
+    ell = m // r
+    hr = np.tile(t_np[:, ::-1], (1, LANES // m))      # [w, 128]
+    reach = (w - 1) * m + (ell - 1) * r
+    nq = (reach + LANES - 1) // LANES + 1
+    mq = np.zeros((ell, nq, LANES, LANES), np.float32)
+    for p in range(ell):
+        for c in range(w):
+            d = (w - 1 - c) * m + p * r
+            for lam in range(LANES):
+                jf = lam + d
+                mq[p, jf // LANES, jf % LANES, lam] += hr[c, lam]
+
+    k_ = np.arange(m)
+    ang = 2.0 * np.pi * np.outer(k_, k_) / m          # F[j,k] = e^{+i·ang}
+    nlg = LANES // m                                  # lane groups per row
+    dr = np.zeros((ell, ell, LANES, LANES), np.float32)
+    di = np.zeros((ell, ell, LANES, LANES), np.float32)
+    for p in range(ell):
+        s = ((p + i_offset) * (m - r)) % m
+        # lane jr holds subfilter j = m−1−jr; rotated channel (j+s) mod m
+        rows = (np.arange(m)[::-1] + s) % m
+        br_ = np.cos(ang)[rows, :]
+        bi_ = np.sin(ang)[rows, :]
+        for f in range(ell):
+            for k in range(nlg):
+                if k % ell != p:
+                    continue
+                src = (nlg * f + k) // ell
+                dr[p, f, src * m : (src + 1) * m, k * m : (k + 1) * m] = br_
+                di[p, f, src * m : (src + 1) * m, k * m : (k + 1) * m] = bi_
+    er = np.einsum("pqjl,pflc->qfjc", mq, dr).astype(np.float32)
+    ei = np.einsum("pqjl,pflc->qfjc", mq, di).astype(np.float32)
+    return jnp.asarray(er), jnp.asarray(ei)
+
+
+def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
+                   out_re, out_im, scratch, sems, obuf, osems, *, tile_rows,
+                   halo, ell, nq, mxu_dtype):
+    i = pl.program_id(0)
+    num = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def tile_copy(p, j, s, first: bool):
+        src = (xr_hbm, xi_hbm)[p]
+        if first:
+            return pltpu.make_async_copy(
+                src.at[pl.ds(0, tile_rows), :],
+                scratch.at[s, p, pl.ds(halo, tile_rows), :], sems.at[s, p])
+        start = pl.multiple_of(j * tile_rows - halo, halo)
+        return pltpu.make_async_copy(
+            src.at[pl.ds(start, tile_rows + halo), :],
+            scratch.at[s, p], sems.at[s, p])
+
+    def out_copy(s, j, comp, f):
+        # family f = global out rows L·t + f of tile j, i.e. the [.., f, :]
+        # plane of the [rows, L, 128] output view: ONE rectangular strided
+        # DMA per family.  (In-kernel interleaves all lose: row-strided
+        # sublane stores +22%, lane-offset block stores +65% from the VREG
+        # lane rotation, XLA-side interleave passes 2-3×.)
+        dst = (out_re, out_im)[comp]
+        return pltpu.make_async_copy(
+            obuf.at[s, comp, f],
+            dst.at[pl.ds(j * tile_rows, tile_rows), f, :],
+            osems.at[s, comp, f])
+
+    @pl.when(i == 0)
+    def _():
+        for p in range(2):
+            tile_copy(p, 0, 0, first=True).start()
+        scratch[0, 0, 0:halo, :] = tr_ref[:, :]
+        scratch[0, 1, 0:halo, :] = ti_ref[:, :]
+
+    multi = not isinstance(num, int) or num > 1
+    if multi:
+        @pl.when(i + 1 < num)
+        def _():
+            for p in range(2):
+                tile_copy(p, i + 1, 1 - slot, first=False).start()
+
+    @pl.when(i == 0)
+    def _():
+        for p in range(2):
+            tile_copy(p, 0, 0, first=True).wait()
+
+    if multi:
+        @pl.when(i > 0)
+        def _():
+            for p in range(2):
+                tile_copy(p, i, slot, first=False).wait()
+
+        @pl.when(i > 1)            # reclaim this slot's output buffers
+        def _():
+            for comp in range(2):
+                for f in range(ell):
+                    out_copy(slot, i - 2, comp, f).wait()
+
+    md = jnp.dtype(mxu_dtype)
+    narrow = md != jnp.dtype(jnp.float32)
+    for s in range(2):                 # static slot unroll (see v2 kernel)
+        @pl.when(slot == s)
+        def _(s=s):
+            fr = scratch[s, 0][:, :]
+            fi = scratch[s, 1][:, :]
+            if narrow:
+                fr = fr.astype(md)
+                fi = fi.astype(md)
+            erv = [[er_ref[q, f].astype(md) if narrow else er_ref[q, f]
+                    for f in range(ell)] for q in range(nq)]
+            eiv = [[ei_ref[q, f].astype(md) if narrow else ei_ref[q, f]
+                    for f in range(ell)] for q in range(nq)]
+            for f in range(ell):
+                zr = (jnp.dot(fr[0:tile_rows], erv[0][f],
+                              preferred_element_type=jnp.float32)
+                      - jnp.dot(fi[0:tile_rows], eiv[0][f],
+                                preferred_element_type=jnp.float32))
+                zi = (jnp.dot(fr[0:tile_rows], eiv[0][f],
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(fi[0:tile_rows], erv[0][f],
+                                preferred_element_type=jnp.float32))
+                for q in range(1, nq):
+                    sr = fr[q : q + tile_rows]
+                    si = fi[q : q + tile_rows]
+                    zr = (zr + jnp.dot(sr, erv[q][f],
+                                       preferred_element_type=jnp.float32)
+                          - jnp.dot(si, eiv[q][f],
+                                    preferred_element_type=jnp.float32))
+                    zi = (zi + jnp.dot(sr, eiv[q][f],
+                                       preferred_element_type=jnp.float32)
+                          + jnp.dot(si, erv[q][f],
+                                    preferred_element_type=jnp.float32))
+                obuf[s, 0, f] = zr
+                obuf[s, 1, f] = zi
+
+    for comp in range(2):
+        for f in range(ell):
+            out_copy(slot, i, comp, f).start()
+
+    @pl.when(i == num - 1)             # drain the final tile's output DMAs
+    def _():
+        for comp in range(2):
+            for f in range(ell):
+                out_copy(slot, i, comp, f).wait()
+
+    if multi:
+        @pl.when((i == num - 1) & (i > 0))
+        def _():
+            for comp in range(2):
+                for f in range(ell):
+                    out_copy(1 - slot, i - 1, comp, f).wait()
+
+
+def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
+                          tile_rows: int = 256, i_offset: int = 0,
+                          interpret: bool = False, mxu_dtype=jnp.float32,
+                          flat_output: bool = False):
+    """Fused oversampled (R < M, R | M) PFB channelizer step.
+
+    For the virtual stream v = tail ++ frame, output group i's commutator
+    window is v[i·r .. i·r + W·m − 1]: out[i, j] = Σ_c taps[c·m+j] ·
+    v[i·r + W·m − 1 − j − c·m], followed by the oversampling rotation
+    (j + (i + i_offset·L)·(m−r)) mod m and the unscaled inverse DFT — the
+    exact reference pipeline (clPolyphaseChannelizer_impl.cc:156-167,
+    :208-225) minus the trailing ch_map selection (caller's slice).
+    Outputs therefore lag the frame end by OS_TAIL_LEN samples, exactly
+    like fx_correlate_streams_v2; streaming callers stagger the feed so
+    GR history semantics hold (blocks layer).
+
+    Args:
+      xr, xi: [n] float32, n a multiple of 128·tile_rows AND of r·L
+        (L = m/r, so rotation phases stay call-invariant).
+      tail_r, tail_i: [OS_TAIL_LEN] float32 — previous frame's last samples
+        (zeros first call).
+      taps_rm: [W, m] branch-major prototype taps (ntaps = W·m).
+      i_offset: global PHASE-GROUP offset (units of L output groups) for
+        time-sharded callers.
+
+    Returns (zr, zi) each [n/r, m] float32 — rotated, inverse-DFT'd
+    channel spectra in output-group order.
+    """
+    w = taps_rm.shape[0]
+    n = xr.shape[-1]
+    if m % r:
+        raise ValueError("fused oversampled kernel requires R | M")
+    ell = m // r
+    if ell < 2:
+        raise ValueError("use the critical-sampled kernels for R == M")
+    if LANES % m:
+        raise ValueError(f"m must divide {LANES}")
+    if (LANES // m) % ell:
+        raise ValueError(
+            f"oversampling factor L={ell} must divide {LANES // m} "
+            f"lane groups (use the XLA phase-split path otherwise)")
+    halo = OS_TAIL_LEN // LANES
+    if n % (LANES * tile_rows):
+        raise ValueError(
+            f"frame length {n} must be a multiple of {LANES * tile_rows}")
+    if (n // r) % ell:
+        raise ValueError(f"output count {n // r} must be a multiple of {ell}")
+    if tail_r.shape != (OS_TAIL_LEN,) or tail_i.shape != (OS_TAIL_LEN,):
+        raise ValueError(f"tails must be [{OS_TAIL_LEN}]")
+    reach = (w - 1) * m + (ell - 1) * r
+    if reach // LANES + 2 > halo:
+        raise ValueError(
+            f"tap reach (w={w}, m={m}, r={r}) exceeds the {halo}-row halo")
+    if tile_rows < halo:
+        raise ValueError(f"tile_rows ({tile_rows}) must be >= {halo}")
+    rows = n // LANES
+    er, ei = _pfb_os_constants(taps_rm, m, r, i_offset)
+    nq = er.shape[0]
+    zr, zi = pl.pallas_call(
+        partial(_pfb_os_kernel, tile_rows=tile_rows, halo=halo, ell=ell,
+                nq=nq, mxu_dtype=mxu_dtype),
+        grid=(rows // tile_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),  # manual interleaved DMA
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, ell, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, ell, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, tile_rows + halo, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 2, ell, tile_rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, ell)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * rows * LANES * LANES * ell * nq,
+            bytes_accessed=4 * (2 * n + 2 * ell * n),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xr.reshape(rows, LANES), xi.reshape(rows, LANES),
+      tail_r.reshape(halo, LANES), tail_i.reshape(halo, LANES),
+      er, ei)
+    if flat_output:
+        # [rows, L, 128] — flat-identical to the [n/r, m] group stream but
+        # 128-lane-minor.  Standalone materialization of the [n/r, m] view
+        # pads the 16-lane minor dim ~8× (measured +70% step time); fused
+        # consumers (slices/reductions under the same jit) avoid that.
+        return zr, zi
+    return zr.reshape(n // r, m), zi.reshape(n // r, m)
+
+
 def _pfb_kernel(y_hbm, hr_ref, mat_ref, out_ref, scratch, sem, *, tile, w):
     i = pl.program_id(0)
     dma = pltpu.make_async_copy(

@@ -136,3 +136,54 @@ def test_oversampled_phase_split_paths_agree():
             jnp.asarray(xr), jnp.asarray(xi), taps_rm, m, r, t, nout, 5)
         np.testing.assert_array_equal(np.asarray(gr), wr)
         np.testing.assert_array_equal(np.asarray(gi), wi)
+
+
+def test_fused_oversampled_streaming_matches_xla_on_delayed_stream():
+    """make_channelizer_fused_oversampled output == the XLA planar path fed
+    the same stream delayed by OS_TAIL_LEN − ntaps + 1 samples (the fused
+    kernel's fixed pipeline latency), across multiple frames."""
+    from clenabled_tpu.dsp import pallas_kernels, planar
+
+    m, r = 16, 8
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.25)
+    taps = np.concatenate([taps, np.zeros((-len(taps)) % m, np.float32)])
+    h = pallas_kernels.OS_TAIL_LEN
+    lag = h - len(taps) + 1
+    ch_map = [0, 3, 7, 15]
+    n = 2048
+    x = cplx(3 * n)
+
+    init_f, apply_f = channelizer.make_channelizer_fused_oversampled(
+        taps, m, r, ch_map, interpret=True)
+    state = init_f()
+    got = []
+    for i in range(3):
+        fr = planar.PC(np.real(x[i * n : (i + 1) * n]),
+                       np.imag(x[i * n : (i + 1) * n]))
+        state, y = apply_f(state, fr)
+        got.append(np.asarray(y.re) + 1j * np.asarray(y.im))
+    got = np.concatenate(got, axis=0)
+
+    xd = np.concatenate([np.zeros(lag, np.complex64), x])[: 3 * n]
+    init_x, apply_x = channelizer.make_channelizer(taps, m, r, ch_map,
+                                                   planar=True)
+    sx = init_x()
+    want = []
+    for i in range(3):
+        fr = planar.PC(np.real(xd[i * n : (i + 1) * n]),
+                       np.imag(xd[i * n : (i + 1) * n]))
+        sx, y = apply_x(sx, fr)
+        want.append(np.asarray(y.re) + 1j * np.asarray(y.im))
+    want = np.concatenate(want, axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-3,
+                               atol=1e-3 * np.abs(want).max())
+
+
+def test_fused_oversampled_support_matrix():
+    assert channelizer.fused_oversampled_supported(16, 8, 128)
+    assert channelizer.fused_oversampled_supported(16, 4, 128)
+    assert channelizer.fused_oversampled_supported(16, 2, 128)
+    assert not channelizer.fused_oversampled_supported(16, 16, 128)  # critical
+    assert not channelizer.fused_oversampled_supported(16, 12, 128)  # R∤M
+    assert not channelizer.fused_oversampled_supported(16, 1, 128)   # L>8
+    assert not channelizer.fused_oversampled_supported(6, 3, 36)     # M∤128

@@ -312,3 +312,72 @@ def test_ofs_plan_sizing_large_taps():
     got = np.asarray(yr) + 1j * np.asarray(yi)
     tol = 1e-4 * np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=tol)
+
+
+def test_pfb_oversampled_fused_matches_xla_path():
+    """pfb_oversampled_fused (R|M) vs channelizer._pfb_oversampled_planar +
+    unscaled inverse DFT on the same virtual stream, incl. rotation."""
+    m, r = 16, 8
+    fs = 100e6
+    proto = firdes.low_pass(1.0, fs, fs / (2 * m) * 0.8, fs / (2 * m) * 0.2)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, ntaps = channelizer._pfb_constants(proto, m, r)
+    w = taps_rm.shape[0]
+    assert ntaps == w * m
+    n = 4096                            # multiple of 128·tile_rows (8)
+    H = pallas_kernels.OS_TAIL_LEN
+    rng = np.random.default_rng(21)
+    vr = rng.standard_normal(H + n).astype(np.float32)
+    vi = rng.standard_normal(H + n).astype(np.float32)
+
+    zr, zi = pallas_kernels.pfb_oversampled_fused(
+        vr[H:], vi[H:], vr[:H], vi[:H], np.asarray(taps_rm), m, r,
+        tile_rows=8, interpret=True)
+    nout = n // r
+    assert zr.shape == (nout, m)
+
+    ar, ai = channelizer._pfb_oversampled_planar(
+        vr[: w * m - 1 + nout * r], vi[: w * m - 1 + nout * r],
+        np.asarray(taps_rm), m, r, w * m, nout)
+    want = planar.ifft_unscaled(planar.PC(ar, ai))
+    np.testing.assert_allclose(np.asarray(zr), np.asarray(want.re),
+                               rtol=1e-3, atol=2e-3 * np.abs(want.re).max())
+    np.testing.assert_allclose(np.asarray(zi), np.asarray(want.im),
+                               rtol=1e-3, atol=2e-3 * np.abs(want.im).max())
+
+
+def test_pfb_oversampled_fused_streaming_continuity():
+    """Two consecutive fused calls (carried tail + i_offset) equal one XLA
+    pass over the concatenated stream — the rotation phase is global."""
+    m, r = 16, 4                         # 4x oversampled, L = 4 phases
+    fs = 100e6
+    proto = firdes.low_pass(1.0, fs, fs / (2 * m) * 0.8, fs / (2 * m) * 0.2)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, _ = channelizer._pfb_constants(proto, m, r)
+    w = taps_rm.shape[0]
+    H = pallas_kernels.OS_TAIL_LEN
+    n1 = n2 = 2048
+    rng = np.random.default_rng(5)
+    v = (rng.standard_normal((2, H + n1 + n2)).astype(np.float32))
+    f1, f2 = v[:, H : H + n1], v[:, H + n1 :]
+    t1 = v[:, :H]
+    t2 = v[:, n1 : H + n1]               # last H samples before frame 2
+
+    z1 = pallas_kernels.pfb_oversampled_fused(
+        f1[0], f1[1], t1[0], t1[1], np.asarray(taps_rm), m, r,
+        tile_rows=8, interpret=True)
+    z2 = pallas_kernels.pfb_oversampled_fused(
+        f2[0], f2[1], t2[0], t2[1], np.asarray(taps_rm), m, r,
+        tile_rows=8, interpret=True, i_offset=n1 // r)
+    got_re = np.concatenate([np.asarray(z1[0]), np.asarray(z2[0])])
+    got_im = np.concatenate([np.asarray(z1[1]), np.asarray(z2[1])])
+
+    nout = (n1 + n2) // r
+    ar, ai = channelizer._pfb_oversampled_planar(
+        v[0, : w * m - 1 + nout * r], v[1, : w * m - 1 + nout * r],
+        np.asarray(taps_rm), m, r, w * m, nout)
+    want = planar.ifft_unscaled(planar.PC(ar, ai))
+    np.testing.assert_allclose(got_re, np.asarray(want.re), rtol=1e-3,
+                               atol=2e-3 * np.abs(want.re).max())
+    np.testing.assert_allclose(got_im, np.asarray(want.im), rtol=1e-3,
+                               atol=2e-3 * np.abs(want.im).max())
