@@ -41,23 +41,77 @@ class QuadratureDemod(Block):
 
 class CostasLoop(Block):
     """clCostasLoop (lib/clCostasLoop_impl.cc): 2nd/4th-order carrier
-    recovery as a lax.scan with carried (phase, freq, error).
-    planar=True streams planar.PC frames."""
+    recovery.  planar=True streams planar.PC frames.
+
+    Execution shapes (a single per-sample feedback chain is latency-bound
+    on any hardware — the reference's single-work-item GPU kernel manages
+    ~0.7 MSPS, README.md:64):
+
+    * default: sequential lax.scan, the exact recurrence (0.56 MSPS/chip);
+    * ``chunked=True`` (planar only): speculative chunk-parallel execution
+      with seam certificates and exact branch correction
+      (dsp.demod.make_costas_loop_chunked) — hundreds of MSPS on a single
+      stream; publishes per-frame diagnostics on the "lock" message port;
+    * ``num_streams=N``: N independent loops vmapped (per-channel carrier
+      recovery), one port per stream — the natural TPU deployment shape
+      (1,591 MSPS aggregate at N=1024, BENCH_TPU.md).
+    """
 
     def __init__(self, loop_bw: float, order: int, planar: bool = False,
+                 chunked: bool = False, chunk: int = 8192,
+                 warmup: int = 1024, num_streams: int = 1,
                  name: str = "", **legacy):
         strip_legacy_kwargs(legacy)
         self.name = name
         self.loop_bw = loop_bw
         self.order = order
-        if planar:
+        self.chunked = chunked
+        self.num_streams = num_streams
+        if num_streams > 1:
+            import jax
+
+            self.n_inputs = self.n_outputs = num_streams
+            if chunked:
+                raise ValueError("chunked and num_streams are exclusive")
+            base = (dsp_demod.make_costas_loop_planar(loop_bw, order)
+                    if planar else dsp_demod.make_costas_loop(loop_bw, order))
+            self._run = jax.vmap(base)
+        elif chunked:
+            if not planar:
+                raise ValueError("chunked CostasLoop requires planar=True")
+            self._run = dsp_demod.make_costas_loop_chunked(
+                loop_bw, order, chunk=chunk, warmup=warmup)
+            self.quantum = chunk
+        elif planar:
             self._run = dsp_demod.make_costas_loop_planar(loop_bw, order)
         else:
             self._run = dsp_demod.make_costas_loop(loop_bw, order)
 
     def init_state(self):
+        if self.num_streams > 1:
+            s = self.num_streams
+            z = jnp.zeros((s,), jnp.float32)
+            return dsp_demod.CostasState(phase=z, freq=z, error=z)
+        if self.chunked:
+            return self._run.init_state()
         return dsp_demod.costas_init()
 
     def apply(self, state, inputs):
+        if self.num_streams > 1:
+            from clenabled_tpu.dsp import planar as pl_mod
+
+            if isinstance(inputs[0], pl_mod.PC):
+                fr = pl_mod.PC(jnp.stack([x.re for x in inputs]),
+                               jnp.stack([x.im for x in inputs]))
+                state, out = self._run(state, fr)
+                outs = tuple(pl_mod.PC(out.re[i], out.im[i])
+                             for i in range(self.num_streams))
+            else:
+                state, out = self._run(state, jnp.stack(inputs))
+                outs = tuple(out[i] for i in range(self.num_streams))
+            return state, outs, {}
+        if self.chunked:
+            state, out, diag = self._run(state, inputs[0])
+            return state, (out,), {"lock": diag}
         state, out = self._run(state, inputs[0])
         return state, (out,), {}

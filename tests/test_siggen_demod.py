@@ -117,3 +117,78 @@ def test_costas_order_validated():
 
     with pytest.raises(ValueError):
         demod.make_costas_loop(0.02, 3)
+
+
+def test_costas_chunked_matches_sequential():
+    """Speculative chunk-parallel Costas tracks the sequential scan across
+    frames: bitwise when the certificate passes, within float dither of
+    the branch-corrected trajectory otherwise."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import planar
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    nfr = 3
+    # BPSK at a small carrier offset: the loop locks quickly at bw=0.1
+    bits = rng.integers(0, 2, nfr * n) * 2 - 1
+    t = np.arange(nfr * n)
+    x = (bits * np.exp(1j * (2 * np.pi * 0.002 * t + 0.7))).astype(np.complex64)
+
+    run_seq = demod.make_costas_loop_planar(0.1, 2)
+    run_chk = demod.make_costas_loop_chunked(0.1, 2, chunk=1024, warmup=512)
+    seq_state = demod.costas_init()
+    chk_state = run_chk.init_state()
+    for k in range(nfr):
+        fr = planar.PC(jnp.asarray(x.real[k * n:(k + 1) * n]),
+                       jnp.asarray(x.imag[k * n:(k + 1) * n]))
+        seq_state, want = run_seq(seq_state, fr)
+        chk_state, got, diag = run_chk(chk_state, fr)
+        assert float(diag["residual"]) < 1e-3
+        if bool(diag["exact"]):
+            np.testing.assert_array_equal(np.asarray(got.re),
+                                          np.asarray(want.re))
+            np.testing.assert_array_equal(np.asarray(got.im),
+                                          np.asarray(want.im))
+        else:
+            # branch-corrected trajectory: same signal, float dither only
+            # (skip the first loop time constant after each seam)
+            np.testing.assert_allclose(np.asarray(got.re),
+                                       np.asarray(want.re), atol=2e-2)
+            np.testing.assert_allclose(np.asarray(got.im),
+                                       np.asarray(want.im), atol=2e-2)
+
+
+def test_costas_chunked_ulp_residual_when_locked():
+    """After acquisition the seam residual sits at the float32 ulp floor
+    (trajectories contract to within rounding dither but modulated inputs
+    prevent a bitwise merge) and no branch hops occur."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import planar
+
+    rng = np.random.default_rng(3)
+    n = 1 << 15
+    bits = rng.integers(0, 2, 2 * n) * 2 - 1
+    t = np.arange(2 * n)
+    x = (bits * np.exp(1j * (2 * np.pi * 0.002 * t + 0.7))).astype(np.complex64)
+    run_chk = demod.make_costas_loop_chunked(0.1, 2, chunk=4096, warmup=2048)
+    st = run_chk.init_state()
+    for k in range(2):
+        fr = planar.PC(jnp.asarray(x.real[k * n:(k + 1) * n]),
+                       jnp.asarray(x.imag[k * n:(k + 1) * n]))
+        st, _, diag = run_chk(st, fr)
+        assert float(diag["residual"]) < 1e-5
+    assert int(diag["branch_hops"]) == 0
+
+
+def test_costas_chunked_validates_frame():
+    import pytest
+
+    from clenabled_tpu.dsp import planar
+
+    run = demod.make_costas_loop_chunked(0.1, 2, chunk=1024, warmup=256)
+    st = run.init_state()
+    with pytest.raises(ValueError):
+        run(st, planar.PC(np.zeros(1000, np.float32),
+                          np.zeros(1000, np.float32)))
