@@ -62,6 +62,7 @@ from clenabled_tpu.blocks.filters import (  # noqa: F401
     FIRTapFilter,
     FirFilterSCC,
     FirFilterFSF,
+    InterpFirFilter,
     PolyphaseChannelizer,
 )
 from clenabled_tpu.blocks.demod import QuadratureDemod, CostasLoop  # noqa: F401

@@ -339,3 +339,33 @@ class PolyphaseChannelizer(Block):
         else:
             flat = out.reshape(-1)
         return state, (flat,), {}
+
+
+class InterpFirFilter(Block):
+    """Polyphase interpolating FIR (GR interp_fir_filter_ccf contract —
+    the reference has no interpolator; added so flowgraphs cover GR's full
+    multi-rate forecast surface).  Output rate = interp × input rate;
+    float taps; planar=True streams planar.PC frames."""
+
+    def __init__(self, interp: int, taps, planar: bool = False,
+                 name: str = "", **legacy):
+        strip_legacy_kwargs(legacy)
+        if interp < 1:
+            raise ValueError("interp must be >= 1")
+        self.name = name
+        self.interp = interp
+        self.rate = Fraction(interp)
+        self.planar = planar
+        if planar:
+            self._init, self._apply = dsp_fir.make_interp_fir_filter_planar(
+                taps, interp)
+        else:
+            self._init, self._apply = dsp_fir.make_interp_fir_filter(
+                taps, interp)
+
+    def init_state(self):
+        return self._init()
+
+    def apply(self, state, inputs):
+        state, out = self._apply(state, inputs[0])
+        return state, (out,), {}

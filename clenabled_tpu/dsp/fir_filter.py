@@ -251,3 +251,89 @@ def make_fir_filter(taps, decimation: int = 1, complex_input: bool = True):
         return new_history, out
 
     return init_state, apply
+
+
+# ---------------------------------------------------------------------------
+# Interpolating FIR (polyphase) — GR's interp_fir_filter contract, which the
+# reference lacks entirely (its blocks only decimate); added so the streaming
+# scheduler covers GR's full forecast contract (interpolators + decimators).
+# ---------------------------------------------------------------------------
+
+
+def _branch_taps(taps, interp: int):
+    """taps [T] → branch matrix [L, Kb] with h_p[j] = taps[p + L·j]."""
+    import numpy as np
+
+    taps = np.asarray(taps, np.float32)
+    kb = -(-len(taps) // interp)
+    padded = np.zeros(kb * interp, np.float32)
+    padded[: len(taps)] = taps
+    return padded.reshape(kb, interp).T.copy()   # [L, Kb]
+
+
+def interp_fir_filter(x, taps, interp: int):
+    """Polyphase interpolating FIR over one real frame.
+
+    Input carries Kb−1 = ceil(T/L)−1 history samples at the front;
+    y[i·L + p] = Σ_j taps[p + L·j] · x[i + Kb−1 − j]  (the polyphase
+    decomposition of zero-stuff-by-L → FIR(taps)).
+    x: [Kb−1 + n] float32 → [n·L] float32.
+    """
+    hb = _branch_taps(taps, interp)              # [L, Kb]
+    lhs = jnp.asarray(x, jnp.float32)[None, None, :]
+    rhs = jnp.asarray(hb[:, ::-1])[:, None, :]   # [O=L, I=1, Kb]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        preferred_element_type=jnp.float32,
+    )[0]                                         # [L, n]
+    return out.T.reshape(-1)                     # y[i·L + p] = out[p, i]
+
+
+def make_interp_fir_filter_planar(taps, interp: int):
+    """Streaming planar interpolating FIR: (init_state, apply) with
+    apply((hr, hi), frame: planar.PC[n]) -> (state, planar.PC[n·L]);
+    state = Kb−1 input samples per component."""
+    import numpy as np
+
+    from clenabled_tpu.dsp import planar
+
+    taps_np = np.asarray(taps, np.float32)
+    kb = -(-len(taps_np) // interp)
+
+    def init_state(frame_size: int | None = None):
+        del frame_size
+        z = jnp.zeros((kb - 1,), jnp.float32)
+        return (z, z)
+
+    @jax.jit
+    def apply(state, frame):
+        fr = jnp.concatenate([state[0], frame.re])
+        fi = jnp.concatenate([state[1], frame.im])
+        yr = interp_fir_filter(fr, taps_np, interp)
+        yi = interp_fir_filter(fi, taps_np, interp)
+        k = fr.shape[-1] - (kb - 1)
+        return (fr[k:], fi[k:]), planar.PC(yr, yi)
+
+    return init_state, apply
+
+
+def make_interp_fir_filter(taps, interp: int):
+    """Complex-stream variant (float taps — GR interp_fir_filter_ccf)."""
+    import numpy as np
+
+    taps_np = np.asarray(taps, np.float32)
+    kb = -(-len(taps_np) // interp)
+
+    def init_state(frame_size: int | None = None):
+        del frame_size
+        return jnp.zeros((kb - 1,), jnp.complex64)
+
+    @jax.jit
+    def apply(state, frame):
+        full = jnp.concatenate([state, jnp.asarray(frame, jnp.complex64)])
+        yr = interp_fir_filter(full.real, taps_np, interp)
+        yi = interp_fir_filter(full.imag, taps_np, interp)
+        k = full.shape[-1] - (kb - 1)
+        return full[k:], (yr + 1j * yi).astype(jnp.complex64)
+
+    return init_state, apply

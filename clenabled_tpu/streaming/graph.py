@@ -90,11 +90,111 @@ class Flowgraph:
             raise ValueError("flowgraph has a cycle")
         return order
 
-    def compile(self, frame_size: int = 8192) -> "Runner":
-        order, step, frames = self._build(frame_size)
-        return Runner(self, order, step, frames, frame_size)
+    def compile(self, frame_size: int | None = 8192) -> "Runner":
+        order, step, frames, resolved = self._build(frame_size)
+        return Runner(self, order, step, frames, resolved)
 
-    def _build(self, frame_size: int):
+    def _resolve_frame_size(self, order, in_edges, ext_ports,
+                            frame_size: int | None) -> int:
+        """Static multi-rate solver (GR's forecast contract, resolved at
+        compile time instead of via inter-block runtime buffering).
+
+        Every externally-fed stream length is B·r for the unknown base
+        frame B (r = the rational product of block rates along the path).
+        Each block contributes constraints: B·r must be an integer and a
+        multiple of its quantum.  The minimal valid B is the lcm of the
+        per-constraint minima; ``frame_size=None`` picks it, an explicit
+        frame_size is validated against it.  Mismatched quanta between
+        producers and consumers therefore never need dynamic buffering —
+        the whole graph steps at a common super-frame."""
+        import math
+        from fractions import Fraction
+
+        scale: dict[tuple[int, int], Fraction] = {}   # B-multiplier per port
+        fixed: dict[tuple[int, int], int] = {}        # source-driven ports
+        b_min = 1          # B must be a multiple of this
+        b_eq: int | None = None   # B pinned by a fixed/scaled meeting point
+
+        def need_multiple(k: int):
+            nonlocal b_min
+            b_min = math.lcm(b_min, max(1, k))
+
+        for b in order:
+            if b.n_inputs == 0:
+                out = b.out_frame(0)
+                for p in range(b.n_outputs):
+                    fixed[(id(b), p)] = out
+                continue
+            vals = []
+            for p in range(b.n_inputs):
+                if (id(b), p) in ext_ports:
+                    vals.append(("scaled", Fraction(1)))
+                elif p in in_edges[id(b)]:
+                    e = in_edges[id(b)][p]
+                    key = (id(e.src), e.src_port)
+                    if key in fixed:
+                        vals.append(("fixed", fixed[key]))
+                    else:
+                        vals.append(("scaled", scale[key]))
+                else:
+                    raise ValueError(f"{b} input {p} unconnected")
+            kinds = {k for k, _ in vals}
+            if kinds == {"fixed"}:
+                sizes = {v for _, v in vals}
+                if len(sizes) != 1:
+                    raise ValueError(f"{b} input frames disagree: {sizes}")
+                out = b.out_frame(sizes.pop())
+                for p in range(b.n_outputs):
+                    fixed[(id(b), p)] = out
+                continue
+            rs = {v for k, v in vals if k == "scaled"}
+            if len(rs) != 1:
+                raise ValueError(
+                    f"{b} input rates disagree: {sorted(rs)} — resample "
+                    f"one branch so both arrive at the same rate")
+            r = rs.pop()
+            if "fixed" in kinds:
+                f_sizes = {v for k, v in vals if k == "fixed"}
+                if len(f_sizes) != 1:
+                    raise ValueError(f"{b} input frames disagree: {f_sizes}")
+                pin = Fraction(f_sizes.pop()) / r
+                if pin.denominator != 1:
+                    raise ValueError(
+                        f"{b}: fixed-size input cannot align with the "
+                        f"rate-{r} external path")
+                if b_eq is not None and b_eq != int(pin):
+                    raise ValueError(
+                        f"conflicting base frame sizes: {b_eq} vs {int(pin)}")
+                b_eq = int(pin)
+            # constraints: B·r integral and a multiple of b.quantum, i.e.
+            # B a multiple of quantum·rd/gcd(rn, quantum·rd)
+            rn, rd = r.numerator, r.denominator
+            need_multiple(b.quantum * rd // math.gcd(rn, b.quantum * rd))
+            r_out = r * b.rate
+            need_multiple(r_out.denominator)   # outputs must be integral
+            for p in range(b.n_outputs):
+                scale[(id(b), p)] = r_out
+
+        if b_eq is not None:
+            if b_eq <= 0 or b_eq % b_min:
+                raise ValueError(
+                    f"source-pinned base frame {b_eq} violates the rate "
+                    f"constraints (must be a positive multiple of {b_min})")
+            b_min = b_eq
+        if frame_size is None:
+            return b_min
+        if b_eq is not None and frame_size != b_eq:
+            raise ValueError(
+                f"frame_size={frame_size} conflicts with the source-pinned "
+                f"base frame {b_eq}")
+        if frame_size % b_min:
+            raise ValueError(
+                f"frame_size={frame_size} must be a multiple of {b_min} "
+                f"(rate/quantum constraints; pass frame_size=None for the "
+                f"minimal valid size)")
+        return frame_size
+
+    def _build(self, frame_size: int | None):
         """Topo-sort, propagate frame sizes, and build the (unjitted) step
         closure.  Called by compile() and again by Runner.refresh() after a
         live block reconfiguration (set_taps) — the closure reads each
@@ -104,6 +204,9 @@ class Flowgraph:
         for e in self._edges:
             in_edges[id(e.dst)][e.dst_port] = e
         ext_ports = {(id(b), p): i for i, (b, p) in enumerate(self._external)}
+
+        frame_size = self._resolve_frame_size(order, in_edges, ext_ports,
+                                              frame_size)
 
         # frame-size propagation (GR's forecast, statically resolved)
         frames: dict[tuple[int, int], int] = {}
@@ -149,7 +252,7 @@ class Flowgraph:
             tapped = {name: values[(id(s), p)] for s, p, name in taps}
             return tuple(new_states), tapped, messages
 
-        return order, step, frames
+        return order, step, frames, frame_size
 
 
 class Runner:
@@ -231,7 +334,7 @@ class Runner:
 
         Raises if the new configuration is incompatible with the current
         frame size (quantum/rate checks re-run)."""
-        order, step, frames = self._graph._build(self.frame_size)
+        order, step, frames, _ = self._graph._build(self.frame_size)
         if [id(b) for b in order] != [id(b) for b in self._order]:
             raise ValueError("refresh() cannot change the block set; "
                              "build a new flowgraph instead")

@@ -232,3 +232,75 @@ def test_long_run_stability():
             np.testing.assert_allclose(out, 0.3, atol=1e-2)
         last = out
     assert last is not None and r.stats["steps"] == 200
+
+
+def test_multirate_interp_and_decimator_graph():
+    """VERDICT #7: a 1:4 interpolator feeding a 1/2 decimating filter runs
+    through the scheduler (mismatched quanta resolved by super-framing),
+    matches the dsp-layer composition, and checkpoints/resumes."""
+    import os
+    import tempfile
+
+    from clenabled_tpu.dsp import fir_filter as dsp_fir
+
+    interp, decim = 4, 2
+    itaps = firdes.low_pass(float(interp), 4.0, 0.4, 0.2)
+    dtaps = firdes.low_pass(1.0, 1.0, 0.2, 0.1)
+    up = blocks.InterpFirFilter(interp, itaps)
+    lpf = blocks.Filter(decim, dtaps, use_time=True)
+    g = Flowgraph()
+    g.external_input(up)
+    g.connect(up, lpf)
+    tap = g.tap(lpf, name="out")
+    r = g.compile(frame_size=512)
+    assert r.frames[(id(up), 0)] == 512 * interp
+    assert r.frames[(id(lpf), 0)] == 512 * interp // decim
+
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal(3 * 512)
+         + 1j * rng.standard_normal(3 * 512)).astype(np.complex64)
+    outs = [np.asarray(r.step(x[k * 512:(k + 1) * 512])["out"])
+            for k in range(2)]
+
+    # checkpoint after 2 frames, resume in a fresh runner
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.pkl")
+        r.save_state(path)
+        r2 = g.compile(frame_size=512)
+        r2.load_state(path)
+        out3a = np.asarray(r.step(x[1024:1536])["out"])
+        out3b = np.asarray(r2.step(x[1024:1536])["out"])
+    np.testing.assert_array_equal(out3a, out3b)
+
+    # parity vs the dsp-layer composition over the whole stream
+    iinit, iapply = dsp_fir.make_interp_fir_filter(itaps, interp)
+    st, y = iapply(iinit(), x)
+    finit, fapply = dsp_fir.make_fir_filter(dtaps, decim, complex_input=True)
+    nf = 512 * interp
+    fstate = finit()
+    want = []
+    for k in range(3):
+        fstate, w = fapply(fstate, np.asarray(y)[k * nf:(k + 1) * nf])
+        want.append(np.asarray(w))
+    got = np.concatenate(outs + [out3a])
+    np.testing.assert_allclose(got, np.concatenate(want), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_multirate_auto_frame_size():
+    """compile(frame_size=None) picks the minimal super-frame satisfying
+    every quantum/rate constraint; an invalid explicit size errors."""
+    interp = 3
+    itaps = firdes.low_pass(float(interp), 3.0, 0.4, 0.2)
+    up = blocks.InterpFirFilter(interp, itaps)
+    # decimating filter with quantum = decimation = 8 fed at rate 3
+    dtaps = firdes.low_pass(1.0, 1.0, 0.2, 0.1)
+    lpf = blocks.Filter(8, dtaps, use_time=True)
+    g = Flowgraph()
+    g.external_input(up)
+    g.connect(up, lpf)
+    g.tap(lpf)
+    r = g.compile(frame_size=None)
+    assert r.frame_size == 8  # B·3 ≡ 0 mod 8 → minimal B = 8
+    with pytest.raises(ValueError):
+        g.compile(frame_size=12)
