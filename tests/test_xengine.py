@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from clenabled_tpu.dsp import xengine
 
 RNG = np.random.default_rng(23)
@@ -131,3 +133,72 @@ def test_channel_major_matches_time_major():
             cm_r, cm_i, npol=p, compute_dtype=dt)
         np.testing.assert_array_equal(np.asarray(got.re), np.asarray(want.re))
         np.testing.assert_array_equal(np.asarray(got.im), np.asarray(want.im))
+
+
+def test_stacked_gram_matches_channel_major():
+    """xengine_correlate_stacked (one Gram matmul) == the 4-einsum
+    channel-major path, triangular and full-matrix."""
+    rng = np.random.default_rng(0)
+    f, t, s, p = 8, 64, 6, 2
+    zr = rng.standard_normal((f, t, s * p)).astype(np.float32)
+    zi = rng.standard_normal((f, t, s * p)).astype(np.float32)
+    for fmt in (xengine.CLXCORR_TRIANGULAR_ORDER, xengine.CLXCORR_FULL_MATRIX):
+        want = xengine.xengine_correlate_channel_major(
+            jnp.asarray(zr), jnp.asarray(zi), npol=p, output_format=fmt)
+        got = xengine.xengine_correlate_stacked(
+            jnp.asarray(zr), jnp.asarray(zi), npol=p, output_format=fmt)
+        np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_stacked_gram_int8_exact():
+    """int8 (IChar) operands: exact integer Gram, scaled once at the end."""
+    rng = np.random.default_rng(1)
+    f, t, s, p = 4, 128, 4, 2
+    zr8 = rng.integers(-127, 128, (f, t, s * p), dtype=np.int8)
+    zi8 = rng.integers(-127, 128, (f, t, s * p), dtype=np.int8)
+    scale = 1.0 / (127.0 * 127.0)
+    got = xengine.xengine_correlate_stacked(
+        jnp.asarray(zr8), jnp.asarray(zi8), npol=p, scale=scale)
+    want = xengine.xengine_correlate_channel_major(
+        jnp.asarray(zr8.astype(np.float32) / 127.0),
+        jnp.asarray(zi8.astype(np.float32) / 127.0), npol=p)
+    # integer accumulation is exact; the f32 reference rounds per-step —
+    # agreement to f32 precision of the final values
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_channel_major_pipeline_integration():
+    """make_xengine_channel_major accumulates on device and emits every
+    pipeline_integration calls (the reference's += kernels + zeroing)."""
+    rng = np.random.default_rng(2)
+    f, t, s, p = 4, 32, 3, 2
+    init, apply = xengine.make_xengine_channel_major(
+        s, f, p, t, pipeline_integration=3)
+    state = init()
+    frames = [(rng.standard_normal((f, t, s * p)).astype(np.float32),
+               rng.standard_normal((f, t, s * p)).astype(np.float32))
+              for _ in range(6)]
+    total = None
+    emitted = []
+    for k, (zr, zi) in enumerate(frames):
+        state, (out, ready) = apply(state, (jnp.asarray(zr), jnp.asarray(zi)))
+        corr = xengine.xengine_correlate_stacked(
+            jnp.asarray(zr), jnp.asarray(zi), npol=p)
+        total = corr if total is None else (
+            type(corr)(total.re + corr.re, total.im + corr.im))
+        if bool(ready):
+            emitted.append((k, np.asarray(out.re).copy(),
+                            np.asarray(out.im).copy(),
+                            np.asarray(total.re).copy()))
+            total = None
+        else:
+            assert not np.any(np.asarray(out.re))
+    assert [k for k, *_ in emitted] == [2, 5]
+    for _, got_re, got_im, want_re in emitted:
+        np.testing.assert_allclose(got_re, want_re, rtol=1e-5, atol=1e-4)
