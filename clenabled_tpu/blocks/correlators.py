@@ -155,6 +155,13 @@ class XEngine(Block):
 
     File/disk output, antenna metadata sidecars and the ATA synchronizer
     live at the tools/streaming layer, not in the math block.
+
+    channel_major (default ON for planar mode) marshals integrations into
+    the TPU-fast [F, T, S·P] layout and runs the single-matmul stacked
+    Gram engine (dsp_xengine.xengine_correlate_stacked) — for IChar /
+    packed-4-bit ingest the samples stay int8 all the way to the MXU
+    (s8×s8→s32, exact; 113.7 TFLOP/s useful measured at S=64/2-pol vs
+    9.0 for the round-1 time-major path, BENCH_TPU.md).
     """
 
     n_outputs = 0
@@ -164,6 +171,7 @@ class XEngine(Block):
                  first_channel: int = 0, num_channels: int = 256,
                  integration: int = 1024, antenna_list=None,
                  pipeline_integration: int = 0, planar: bool = False,
+                 channel_major: bool | None = None, compute_dtype=None,
                  name: str = "xengine", **legacy):
         for k in ("output_file", "file_base", "rollover_size_mb",
                   "internal_synchronizer", "sync_timestamp", "object_name",
@@ -185,11 +193,27 @@ class XEngine(Block):
         samples = integration * num_channels * self.npol
         self.quantum = samples * 2 if data_type == 5 else samples
         self.planar = planar
-        self._init, self._apply = dsp_xengine.make_xengine(
-            num_inputs=num_inputs, num_channels=num_channels, npol=self.npol,
-            integration_time=integration, output_format=output_format,
-            pipeline_integration=pipeline_integration, planar=planar,
-        )
+        if channel_major is None:
+            channel_major = planar
+        self.channel_major = channel_major and planar
+        if self.channel_major:
+            # raw-int ingest: quantization scale applied once on the Gram
+            scale = {5: 1.0 / 127.0 ** 2, 6: 1.0 / 7.0 ** 2}.get(
+                data_type, 1.0)
+            self._init, self._apply = dsp_xengine.make_xengine_channel_major(
+                num_inputs=num_inputs, num_channels=num_channels,
+                npol=self.npol, integration_time=integration,
+                output_format=output_format,
+                pipeline_integration=pipeline_integration,
+                compute_dtype=compute_dtype, scale=scale,
+            )
+        else:
+            self._init, self._apply = dsp_xengine.make_xengine(
+                num_inputs=num_inputs, num_channels=num_channels,
+                npol=self.npol, integration_time=integration,
+                output_format=output_format,
+                pipeline_integration=pipeline_integration, planar=planar,
+            )
 
     def init_state(self):
         return self._init()
@@ -217,8 +241,36 @@ class XEngine(Block):
             z = jnp.asarray(stream, jnp.complex64)
         return z.reshape(shp)
 
+    def _decode_int(self, stream):
+        """Per-antenna raw byte stream → (re, im) int8 [T, F, P] UNSCALED
+        (the stacked engine's native ingest; scale lands on the Gram)."""
+        shp = (self.integration, self.num_channels, self.npol)
+        if self.data_type == 5:
+            re, im = dsp_xengine.unpack_char_int8(stream)
+        elif self.data_type == 6:
+            re, im = dsp_xengine.unpack_packed_4bit_int8(stream)
+        else:
+            raise TypeError("int decode is only for IChar/PackedXY feeds")
+        return re.reshape(shp), im.reshape(shp)
+
     def apply(self, state, inputs):
         from clenabled_tpu.dsp import planar
+
+        if self.channel_major:
+            if self.data_type in (5, 6):
+                decoded = [self._decode_int(x) for x in inputs]
+                parts = [(re, im) for re, im in decoded]
+            else:
+                decoded = [self._decode(x) for x in inputs]
+                parts = [(d.re, d.im) for d in decoded]
+            # [S][T,F,P] → [F, T, S·P] (stations·pols on the lanes)
+            f_major = []
+            for comp in (0, 1):
+                s = jnp.stack([p[comp] for p in parts])     # [S,T,F,P]
+                f_major.append(jnp.transpose(s, (2, 1, 0, 3)).reshape(
+                    self.num_channels, self.integration, -1))
+            state, (out, ready) = self._apply(state, tuple(f_major))
+            return state, (), {"xcorr": {"matrix": out, "valid": ready}}
 
         decoded = [self._decode(x) for x in inputs]
         if self.planar:

@@ -60,6 +60,23 @@ _TWOS_LUT = np.array([0, 1, 2, 3, 4, 5, 6, 7, 0, -7, -6, -5, -4, -3, -2, -1],
                      dtype=np.float32)
 
 
+def unpack_char_int8(raw):
+    """Interleaved signed-byte I/Q → (re, im) int8 views, UNSCALED — the
+    ingest for the int8-MXU stacked engine (scale 1/127² applied once on
+    the integer Gram result; exact, unlike the reference's per-sample
+    1/127 float conversion, lib/clXEngine_impl.cc:831-845)."""
+    pairs = jnp.asarray(raw, jnp.int8).reshape(raw.shape[:-1] + (-1, 2))
+    return pairs[..., 0], pairs[..., 1]
+
+
+def unpack_packed_4bit_int8(raw):
+    """Packed 4-bit two's-complement I/Q → (re, im) int8, UNSCALED
+    (values in [-7, 7]; scale 1/7² applied on the Gram result)."""
+    b = jnp.asarray(raw, jnp.uint8).astype(jnp.int32)
+    lut = jnp.asarray(_TWOS_LUT.astype(np.int8))
+    return lut[b >> 4], lut[b & 0xF]
+
+
 def unpack_char_planar(raw):
     """Interleaved signed-byte I/Q → planar.PC · (1/127) (complex-free)."""
     from clenabled_tpu.dsp import planar

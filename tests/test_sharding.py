@@ -282,3 +282,57 @@ def test_sharded_fused_flagship_matches_single_device():
                                    atol=1e-4 * scale)
         np.testing.assert_allclose(got[k][2], want_im, rtol=1e-4,
                                    atol=1e-4 * scale)
+
+
+@pytest.mark.parametrize("dt_name", ["int8", "bfloat16"])
+def test_sharded_fused_flagship_narrow_ingest(dt_name):
+    """Multi-chip fused flagship with bf16/int8 ingest (the reference's
+    IChar path, lib/clXEngine_impl.cc:831-858) == the single-device v2
+    kernel in the same dtype — the int8 leg exercises the bf16-MXU +
+    banded-matmul branch stage across the shard ring."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import pallas_kernels
+    from clenabled_tpu.dsp import channelizer as C, firdes
+    from clenabled_tpu.pipelines import (FxPipelineConfig,
+                                         make_sharded_fx_pipeline_fused)
+
+    dt = jnp.dtype(dt_name)
+    mesh = make_mesh()
+    d = mesh.shape["shard"]
+    a, m = 2, 16
+    n_local = pallas_kernels.fx_tail_len(dt)
+    cfg = FxPipelineConfig(num_antennas=a, num_channels=m,
+                           samples_per_step=n_local)
+    fn, (xr0, xi0, tr0, ti0) = make_sharded_fx_pipeline_fused(
+        mesh, cfg=cfg, in_dtype=dt, interpret=True)
+    n = n_local * d
+    rng = np.random.default_rng(5)
+    if dt == jnp.int8:
+        xr = rng.integers(-16, 17, (a, n)).astype(np.int8)
+        xi = rng.integers(-16, 17, (a, n)).astype(np.int8)
+    else:
+        xr = rng.standard_normal((a, n)).astype(np.float32).astype(dt_name)
+        xi = rng.standard_normal((a, n)).astype(np.float32).astype(dt_name)
+
+    fd, xre, xim, _, _ = fn(jnp.asarray(xr), jnp.asarray(xi), tr0, ti0)
+
+    proto = firdes.low_pass(1.0, 100e6, 100e6 / (2 * m) * 0.8,
+                            100e6 / (2 * m) * 0.2)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, _ = C._pfb_constants(proto, m, m)
+    tail_len = pallas_kernels.fx_tail_len(dt)
+    tr = np.zeros((a, tail_len), dt_name)
+    fd_sum, gram = pallas_kernels.fx_correlate_streams_v2(
+        jnp.asarray(xr), jnp.asarray(xi), jnp.asarray(tr), jnp.asarray(tr),
+        np.asarray(taps_rm), a, m, tile_rows=tail_len // 128, interpret=True)
+    want_fd = np.roll(np.asarray(fd_sum) / (n // m), m // 2, axis=-1)
+    want_re = np.asarray(gram)[:, :m].T[:, :, None]
+    want_im = np.asarray(gram)[:, m:].T[:, :, None]
+    scale = max(np.abs(want_re).max(), 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(fd), want_fd, rtol=1e-3, atol=1e-3 * np.abs(want_fd).max())
+    np.testing.assert_allclose(np.asarray(xre), want_re, rtol=1e-3,
+                               atol=1e-3 * scale)
+    np.testing.assert_allclose(np.asarray(xim), want_im, rtol=1e-3,
+                               atol=1e-3 * scale)
