@@ -25,6 +25,7 @@ class XCorrelate(Block):
     """
 
     n_outputs = 0
+    msg_ports = ("corr",)
 
     def __init__(self, num_inputs: int, signal_length: int = 8192,
                  data_type: int = 1, data_size: int = 8,
@@ -165,6 +166,7 @@ class XEngine(Block):
     """
 
     n_outputs = 0
+    msg_ports = ("xcorr",)
 
     def __init__(self, data_type: int, polarization: int, num_inputs: int,
                  output_format: int = dsp_xengine.CLXCORR_TRIANGULAR_ORDER,

@@ -57,6 +57,8 @@ class CostasLoop(Block):
       (1,591 MSPS aggregate at N=1024, BENCH_TPU.md).
     """
 
+    msg_ports = ("lock",)
+
     def __init__(self, loop_bw: float, order: int, planar: bool = False,
                  chunked: bool = False, chunk: int = 8192,
                  warmup: int = 1024, num_streams: int = 1,

@@ -127,16 +127,111 @@ BLOCKS = [
 ]
 
 
+# Stream/message port declarations per block id: (inputs, outputs) where a
+# stream port is (label, dtype, multiplicity_expr|None) and a message port
+# is ("msg", port_name).  These make the descriptors actually loadable in
+# GNU Radio Companion (ports are required), with templates instantiating
+# real TPU blocks through gr_compat.wrap — the role of the reference's
+# pybind bindings (python/bindings/python_bindings.cc:29-49).
+IO = {
+    "clSignalSource": ([], [("out", "complex", None)]),
+    "clFFT": ([("in", "complex", "${num_streams}")],
+              [("out", "complex", "${num_streams}")]),
+    "clMultiply": ([("a", "complex", None), ("b", "complex", None)],
+                   [("out", "complex", None)]),
+    "clAdd": ([("a", "complex", None), ("b", "complex", None)],
+              [("out", "complex", None)]),
+    "clSubtract": ([("a", "complex", None), ("b", "complex", None)],
+                   [("out", "complex", None)]),
+    "clMultiplyConjugate": ([("a", "complex", None), ("b", "complex", None)],
+                            [("out", "complex", None)]),
+    "clComplexConjugate": ([("in", "complex", None)],
+                           [("out", "complex", None)]),
+    "clMultConst": ([("in", "complex", None)], [("out", "complex", None)]),
+    "clAddConst": ([("in", "complex", None)], [("out", "complex", None)]),
+    "clComplexToMag": ([("in", "complex", None)], [("out", "float", None)]),
+    "clComplexToArg": ([("in", "complex", None)], [("out", "float", None)]),
+    "clComplexToMagPhase": ([("in", "complex", None)],
+                            [("mag", "float", None),
+                             ("phase", "float", None)]),
+    "clMagPhaseToComplex": ([("mag", "float", None), ("phase", "float", None)],
+                            [("out", "complex", None)]),
+    "clLog10": ([("in", "float", None)], [("out", "float", None)]),
+    "clSNR": ([("in", "float", None)], [("out", "float", None)]),
+    "clKernel1To1": ([("in", "complex", None)], [("out", "complex", None)]),
+    "clKernel2To1": ([("a", "complex", None), ("b", "complex", None)],
+                     [("out", "complex", None)]),
+    "clLowPassFilter": ([("in", "complex", None)], [("out", "complex", None)]),
+    "clHighPassFilter": ([("in", "complex", None)], [("out", "complex", None)]),
+    "clBandPassFilter": ([("in", "complex", None)], [("out", "complex", None)]),
+    "clBandRejectFilter": ([("in", "complex", None)],
+                           [("out", "complex", None)]),
+    "clRootRaisedCosine": ([("in", "complex", None)],
+                           [("out", "complex", None)]),
+    "clFIRTapFilter": ([("in", "complex", None)], [("out", "complex", None)]),
+    "clComplexFilter": ([("in", "complex", None)], [("out", "complex", None)]),
+    "clPolyphaseChannelizer": ([("in", "complex", None)],
+                               [("out", "complex", None)]),
+    "clQuadratureDemod": ([("in", "complex", None)], [("out", "float", None)]),
+    "clCostasLoop": ([("in", "complex", None)],
+                     [("out", "complex", None), ("msg", "lock")]),
+    "clXCorrelate": ([("in", "complex", "${num_inputs}")],
+                     [("msg", "corr")]),
+    "clxcorrelate_fft_vcf": ([("in", "complex", "${num_inputs}")],
+                             [("out", "float", None)]),
+    "clXEngine": ([("in", "complex", "${num_inputs}")], [("msg", "xcorr")]),
+}
+
+# blocks whose stream signatures aren't all-complex need explicit numpy
+# signatures passed to wrap()
+SIGS = {
+    "clComplexToMag": (None, "[np.float32]"),
+    "clComplexToArg": (None, "[np.float32]"),
+    "clComplexToMagPhase": (None, "[np.float32, np.float32]"),
+    "clMagPhaseToComplex": ("[np.float32, np.float32]", None),
+    "clLog10": ("[np.float32]", "[np.float32]"),
+    "clSNR": ("[np.float32]", "[np.float32]"),
+    "clQuadratureDemod": (None, "[np.float32]"),
+    "clxcorrelate_fft_vcf":
+        ("[np.complex64] * ${num_inputs}",
+         "[np.float32] * (${num_inputs} - 1)"),
+}
+
+
+def _port_lines(ports, direction):
+    lines = [f"{direction}:"]
+    for port in ports:
+        if port[0] == "msg":
+            lines += [f"- domain: message", f"  id: {port[1]}",
+                      "  optional: true"]
+        else:
+            label, dtype, mult = port
+            lines += [f"- label: {label}", f"  dtype: {dtype}"]
+            if mult:
+                lines.append(f"  multiplicity: {mult}")
+    return lines + [""]
+
+
 def emit(block, outdir: str) -> str:
     bid, label, category, template, params = block
+    in_sig, out_sig = SIGS.get(bid, (None, None))
+    wrap_args = ""
+    if in_sig:
+        wrap_args += f", in_sig={in_sig}"
+    if out_sig:
+        wrap_args += f", out_sig={out_sig}"
+    make = f"clenabled_tpu.gr_compat.wrap({template}{wrap_args})"
     lines = [
         f"id: clenabled_tpu_{bid}",
         f"label: {label}",
         f"category: '{category}'",
         "",
         "templates:",
-        "  imports: import clenabled_tpu.blocks",
-        f"  make: {template}",
+        "  imports: |-",
+        "    import numpy as np",
+        "    import clenabled_tpu.blocks",
+        "    import clenabled_tpu.gr_compat",
+        f"  make: {make}",
         "",
     ]
     if params:
@@ -146,9 +241,16 @@ def emit(block, outdir: str) -> str:
                       f"  default: {default!r}" if not str(default).isidentifier()
                       else f"  default: {default}"]
         lines.append("")
+    ins, outs = IO[bid]
+    if ins:
+        lines += _port_lines(ins, "inputs")
+    if outs:
+        lines += _port_lines(outs, "outputs")
     lines += [
         "documentation: |-",
         f"  TPU-native equivalent of gr-clenabled's {bid} block.",
+        "  Instantiated inside GNU Radio through clenabled_tpu.gr_compat.wrap",
+        "  (the TPU does the math, GR does the stream plumbing).",
         "  See clenabled_tpu/blocks and PARITY.md for semantics and",
         "  reference citations.",
         "",

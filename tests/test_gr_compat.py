@@ -1,0 +1,159 @@
+"""gr_compat.wrap adapter logic, tested against a minimal fake ``gnuradio``
+module (GR itself isn't installable in this image — the adapter is what
+makes the grc/*.block.yml descriptors instantiate real TPU blocks inside a
+stock GNU Radio flowgraph, the role of the reference's pybind bindings,
+python/bindings/python_bindings.cc:29-49)."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+class _FakeBasicBlock:
+    def __init__(self, name=None, in_sig=None, out_sig=None):
+        self._name = name
+        self._in_sig = in_sig
+        self._out_sig = out_sig
+        self.consumed = []
+        self.relative_rate = None
+        self.output_multiple = None
+        self.registered_ports = []
+        self.published = []
+
+    def set_relative_rate(self, r):
+        self.relative_rate = r
+
+    def set_output_multiple(self, m):
+        self.output_multiple = m
+
+    def message_port_register_out(self, sym):
+        self.registered_ports.append(sym)
+
+    def message_port_pub(self, sym, msg):
+        self.published.append((sym, msg))
+
+    def consume_each(self, n):
+        self.consumed.append(n)
+
+
+@pytest.fixture()
+def fake_gr(monkeypatch):
+    gr_mod = types.ModuleType("gnuradio.gr")
+    gr_mod.basic_block = _FakeBasicBlock
+    gnuradio = types.ModuleType("gnuradio")
+    gnuradio.gr = gr_mod
+    pmt_mod = types.ModuleType("pmt")
+    pmt_mod.intern = lambda s: ("sym", s)
+    pmt_mod.to_pmt = lambda x: ("pmt", x)
+    monkeypatch.setitem(sys.modules, "gnuradio", gnuradio)
+    monkeypatch.setitem(sys.modules, "gnuradio.gr", gr_mod)
+    monkeypatch.setitem(sys.modules, "pmt", pmt_mod)
+    return gr_mod
+
+
+def test_wrap_elementwise_roundtrip(fake_gr):
+    from clenabled_tpu.blocks import MultiplyConst
+    from clenabled_tpu.gr_compat import wrap
+
+    g = wrap(MultiplyConst(2.0 + 0j))
+    x = (np.arange(8) + 1j).astype(np.complex64)
+    out = np.zeros(8, np.complex64)
+    produced = g.general_work([x], [out])
+    assert produced == 8
+    assert g.consumed == [8]
+    np.testing.assert_allclose(out, 2.0 * x, rtol=1e-6)
+
+
+def test_wrap_quantum_and_decimation(fake_gr):
+    """A decimating filter: consumes quantum multiples, produces n/decim,
+    sets relative rate + output multiple, and carries state across calls
+    (stream continuity at the work-call seam)."""
+    from clenabled_tpu.blocks import FIRTapFilter
+    from clenabled_tpu.gr_compat import wrap
+    from clenabled_tpu.streaming.block import Block
+
+    taps = np.array([0.25, 0.5, 0.25], np.float32)
+    blk = FIRTapFilter(2, taps, use_time=True)
+    g = wrap(blk)
+    assert g.relative_rate == 0.5
+    q = blk.quantum
+    n = 4 * q
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+
+    # two work calls over halves == one call over the whole stream
+    out_a = np.zeros(n, np.complex64)
+    p1 = g.general_work([x[: n // 2]], [out_a[: n // 4]])
+    p2 = g.general_work([x[n // 2:]], [out_a[n // 4:]])
+    assert p1 == p2 == n // 4
+    assert g.consumed == [n // 2, n // 2]
+
+    g2 = wrap(FIRTapFilter(2, taps, use_time=True))
+    out_b = np.zeros(n, np.complex64)
+    g2.general_work([x], [out_b[: n // 2]])
+    np.testing.assert_allclose(out_a[: n // 2], out_b[: n // 2],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_wrap_forecast_rounds_to_quantum(fake_gr):
+    from clenabled_tpu.blocks import FIRTapFilter
+    from clenabled_tpu.gr_compat import wrap
+
+    blk = FIRTapFilter(4, np.ones(5, np.float32), use_time=True)
+    g = wrap(blk)
+    need = g.forecast(10, 1)
+    assert len(need) == 1
+    assert need[0] % blk.quantum == 0
+    assert need[0] * 1.0 / 4.0 >= 10 or need[0] >= blk.quantum
+
+
+def test_wrap_partial_input_waits_for_quantum(fake_gr):
+    from clenabled_tpu.blocks import FIRTapFilter
+    from clenabled_tpu.gr_compat import wrap
+
+    blk = FIRTapFilter(2, np.ones(3, np.float32), use_time=True)
+    g = wrap(blk)
+    x = np.zeros(blk.quantum - 1, np.complex64)
+    out = np.zeros(blk.quantum, np.complex64)
+    assert g.general_work([x], [out]) == 0
+    assert g.consumed == []
+
+
+def test_wrap_sink_publishes_messages(fake_gr):
+    from clenabled_tpu.blocks import XCorrelate
+    from clenabled_tpu.gr_compat import wrap
+
+    blk = XCorrelate(2, signal_length=256, max_search_index=16)
+    g = wrap(blk)
+    assert ("sym", "corr") in g.registered_ports
+    rng = np.random.default_rng(1)
+    sig = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+        np.complex64)
+    produced = g.general_work([sig, np.roll(sig, 3)], [])
+    assert produced == 0
+    assert g.consumed == [256]
+    (sym, (tag, payload)), = g.published
+    assert sym == ("sym", "corr") and tag == "pmt"
+    assert int(np.asarray(payload["corrective_lags"]).ravel()[0]) == -3
+
+
+def test_wrap_source_produces_frames(fake_gr):
+    from clenabled_tpu.blocks import SignalSource
+    from clenabled_tpu.gr_compat import wrap
+
+    blk = SignalSource(48000.0, 1, 1000.0, 1.0, frame_size=512)
+    g = wrap(blk)
+    out = np.zeros(512, np.complex64)
+    assert g.general_work([], [out]) == 512
+    # phase-continuous across calls
+    out2 = np.zeros(512, np.complex64)
+    g.general_work([], [out2])
+    t = np.arange(1024) / 48000.0
+    want = np.exp(1j * 2 * np.pi * 1000.0 * t).astype(np.complex64)
+    got = np.concatenate([out, out2])
+    np.testing.assert_allclose(got.real, want.real, atol=1e-4)
