@@ -16,3 +16,5 @@ ports).  XLA is functional, so those contracts become explicit here:
 
 from clenabled_tpu.streaming.block import Block, FunctionBlock  # noqa: F401
 from clenabled_tpu.streaming.graph import Flowgraph, Runner  # noqa: F401
+from clenabled_tpu.streaming.sync import (  # noqa: F401
+    StreamSynchronizer, SynchronizedIngest, SyncPlan, TaggedFrame)

@@ -26,6 +26,81 @@ def test_synchronizer_validates():
         sync.plan([1, 2, 3])
 
 
+def _tagged(start, n, base):
+    from clenabled_tpu.streaming.sync import TaggedFrame
+
+    return [TaggedFrame(start + k, base + start + k) for k in range(n)]
+
+
+def test_synchronized_ingest_discards_and_publishes_sync():
+    """Tag-consuming alignment (clXEngine_impl.cc:1158-1226): leading
+    frames are discarded so all streams start at the highest timestamp
+    rounded to the block multiple, and the sync PDU callback fires."""
+    from clenabled_tpu.streaming.sync import SynchronizedIngest
+
+    synced = []
+    ing = SynchronizedIngest(
+        [_tagged(100, 60, 0), _tagged(117, 60, 1000), _tagged(96, 60, 2000)],
+        block_multiple=16, on_sync=synced.append)
+    tuples = list(ing)
+    assert synced == [128]
+    assert ing.discarded == [28, 11, 32]
+    # all yielded tuples aligned; payloads carry the matching timestamps
+    assert tuples[0] == (128, 1128, 2128)
+    assert len(tuples) == 60 - 32          # shortest stream bounds output
+    assert tuples[-1] == (155, 1155, 2155)
+
+
+def test_synchronized_ingest_resyncs_after_drop():
+    """A mid-stream dropped frame triggers re-alignment on the surviving
+    streams and the on_resync notification (failure detection the
+    reference lacks)."""
+    from clenabled_tpu.streaming.sync import SynchronizedIngest, TaggedFrame
+
+    a = _tagged(0, 40, 0)
+    b = _tagged(0, 40, 1000)
+    del b[20:23]  # stream b drops frames 20..22
+    resyncs = []
+    ing = SynchronizedIngest([a, b], block_multiple=1,
+                             on_resync=lambda o, n: resyncs.append((o, n)))
+    tuples = list(ing)
+    assert resyncs == [(20, 23)]
+    # aligned before the drop and after the resync, nothing interleaved
+    assert tuples[:20] == [(k, 1000 + k) for k in range(20)]
+    assert tuples[20:] == [(k, 1000 + k) for k in range(23, 40)]
+
+
+def test_synchronized_ingest_drives_runner():
+    """End-to-end: SynchronizedIngest feeds Runner.run directly (aligned
+    multi-antenna feeds into a 2-input flowgraph)."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.streaming.sync import SynchronizedIngest, TaggedFrame
+
+    fg = Flowgraph()
+    mult = blocks.MultiplyConjugate()
+    fg.external_input(mult, 0)
+    fg.external_input(mult, 1)
+    fg.tap(mult, name="prod")
+    runner = fg.compile(frame_size=64)
+
+    rng = np.random.default_rng(0)
+    n_frames, offset = 8, 3
+    base = rng.standard_normal((n_frames + offset, 64)) \
+        + 1j * rng.standard_normal((n_frames + offset, 64))
+    base = base.astype(np.complex64)
+    s1 = [TaggedFrame(k, jnp.asarray(base[k])) for k in range(n_frames + offset)]
+    s2 = [TaggedFrame(k + offset, jnp.asarray(base[k + offset]))
+          for k in range(n_frames)]
+    ing = SynchronizedIngest([s1, s2], block_multiple=1)
+    outs = runner.run(ing)
+    assert len(outs) == n_frames
+    for k, out in enumerate(outs):
+        want = base[k + offset] * np.conj(base[k + offset])
+        np.testing.assert_allclose(np.asarray(out["prod"]), want, rtol=1e-5,
+                                   atol=1e-5)
+
+
 def test_fft_num_streams():
     rng = np.random.default_rng(0)
     fft = blocks.Fft(256, num_streams=3)
