@@ -31,6 +31,7 @@ from clenabled_tpu.sharding.halo import (  # noqa: F401
 from clenabled_tpu.sharding.xengine_sharded import (  # noqa: F401
     sharded_xengine,
     make_sharded_xengine,
+    make_sharded_xengine_stacked,
 )
 from clenabled_tpu.sharding.planar_halo import (  # noqa: F401
     make_sharded_fft_filter_planar,

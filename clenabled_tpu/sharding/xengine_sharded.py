@@ -95,3 +95,84 @@ def make_sharded_xengine(num_inputs: int, num_channels: int, npol: int,
         return step(state, frames)
 
     return init_state, apply
+
+
+def make_sharded_xengine_stacked(num_inputs: int, num_channels: int,
+                                 npol: int, integration_time: int,
+                                 mesh: Mesh, axis: str = "shard",
+                                 output_format: int =
+                                 dsp_xengine.CLXCORR_TRIANGULAR_ORDER,
+                                 pipeline_integration: int = 0,
+                                 compute_dtype=None, scale: float = 1.0):
+    """Multi-chip stacked-Gram X-Engine: the single-matmul channel-major
+    engine (dsp.xengine.xengine_correlate_stacked — 92-114 TFLOP/s useful
+    int8 per chip) over a station-sharded capture mesh.
+
+    Capture is lane-sharded: each chip ingests its antennas' channelized
+    planar streams as zr/zi [F, T, (S·P)/D] (float32/bfloat16/int8 — the
+    IChar samples travel the ICI as int8, quartering the all_to_all
+    bytes).  One ``all_to_all`` re-shards to channel-sharded [F/D, T, S·P]
+    (the Gram needs all stations per channel); each chip then owns the
+    complete correlation for its channel slice and the integration state
+    stays channel-sharded on device (float32, exact int32 Gram per call
+    for int8 ingest; ``scale`` e.g. 1/127² applied per call).
+
+    apply(state, (zr, zi)) → (state', (planar.PC out channel-sharded on
+    dim 0, ready)) with the reference's pipeline_integration emission
+    contract (lib/clXEngine_impl.cc:289-292, :779-812)."""
+    from clenabled_tpu.dsp import planar as pl_mod
+
+    d = mesh.shape[axis]
+    sp = num_inputs * npol
+    if sp % d or num_channels % d:
+        raise ValueError("stations·pols and channels must divide mesh size")
+    nb = dsp_xengine.num_baselines(num_inputs)
+    if output_format == dsp_xengine.CLXCORR_TRIANGULAR_ORDER:
+        out_shape = (num_channels, nb, npol * npol)
+    else:
+        out_shape = (num_channels, sp, sp)
+    pipe = max(1, pipeline_integration)
+    expected = (num_channels, integration_time, sp)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(((P(axis), P(axis)), P()),
+                       (P(None, None, axis), P(None, None, axis))),
+             out_specs=(((P(axis), P(axis)), P()),
+                        ((P(axis), P(axis)), P())))
+    def step(state, frames):
+        (acc_re, acc_im), count = state
+        zr_local, zi_local = frames            # [F, T, SP/D]
+        # lane-shard -> channel-shard: split channels, concat station lanes
+        zr_all = jax.lax.all_to_all(zr_local, axis, split_axis=0,
+                                    concat_axis=2, tiled=True)
+        zi_all = jax.lax.all_to_all(zi_local, axis, split_axis=0,
+                                    concat_axis=2, tiled=True)
+        corr = dsp_xengine.xengine_correlate_stacked(
+            zr_all, zi_all, npol=npol, output_format=output_format,
+            compute_dtype=compute_dtype, scale=scale)
+        acc_re = acc_re + corr.re
+        acc_im = acc_im + corr.im
+        count = count + 1
+        ready = count >= pipe
+        out_re = jnp.where(ready, acc_re, jnp.zeros_like(acc_re))
+        out_im = jnp.where(ready, acc_im, jnp.zeros_like(acc_im))
+        new_re = jnp.where(ready, jnp.zeros_like(acc_re), acc_re)
+        new_im = jnp.where(ready, jnp.zeros_like(acc_im), acc_im)
+        new_count = jnp.where(ready, jnp.int32(0), count)
+        return ((new_re, new_im), new_count), ((out_re, out_im), ready)
+
+    def apply(state, frames):
+        zr, zi = frames
+        if zr.shape != expected:
+            raise ValueError(f"frames shape {zr.shape} != {expected}")
+        (acc, count) = state
+        st = ((acc.re, acc.im), count)
+        ((nre, nim), ncount), ((ore, oim), ready) = step(st, (zr, zi))
+        return ((pl_mod.PC(nre, nim), ncount),
+                (pl_mod.PC(ore, oim), ready))
+
+    def init_state():
+        return (pl_mod.zeros(out_shape), jnp.zeros((), jnp.int32))
+
+    return init_state, apply

@@ -25,6 +25,12 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 Gram operands, f32 accumulate (exact for "
                     "<=8-bit quantized streams)")
+    ap.add_argument("--stacked", action="store_true",
+                    help="single-matmul stacked Gram (channel-major; the "
+                    "fastest path — operands cross HBM once)")
+    ap.add_argument("--int8", action="store_true",
+                    help="raw IChar int8 operands on the MXU s8 path "
+                    "(exact integer accumulation; implies --stacked)")
     ap.add_argument("--iterations", type=int, default=50)
     args = ap.parse_args()
 
@@ -46,7 +52,23 @@ def main() -> None:
           f"channels: {f}  integration: {t}  baselines: {nb}")
 
     rng = np.random.default_rng(0)
-    if args.channel_major:
+    if args.stacked or args.int8:
+        import jax.numpy as jnp
+
+        q = rng.integers(-127, 128, (2, f, t, s * p))
+        if args.int8:
+            zr = jax.device_put(q[0].astype(np.int8))
+            zi = jax.device_put(q[1].astype(np.int8))
+            scale = 1.0 / (127.0 * 127.0)
+        else:
+            dt = jnp.bfloat16 if args.bf16 else np.float32
+            zr = jax.device_put(q[0].astype(dt))
+            zi = jax.device_put(q[1].astype(dt))
+            scale = 1.0
+        fn = jax.jit(lambda r, i2: xengine.xengine_correlate_stacked(
+            r, i2, npol=p, scale=scale))
+        secs = T.time_fn(fn, zr, zi, iterations=it)
+    elif args.channel_major:
         import jax.numpy as jnp
 
         dt = jnp.bfloat16 if args.bf16 else np.float32

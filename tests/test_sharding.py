@@ -336,3 +336,41 @@ def test_sharded_fused_flagship_narrow_ingest(dt_name):
                                atol=1e-3 * scale)
     np.testing.assert_allclose(np.asarray(xim), want_im, rtol=1e-3,
                                atol=1e-3 * scale)
+
+
+@pytest.mark.parametrize("dt_name", ["float32", "int8"])
+def test_sharded_stacked_xengine_matches_single_device(dt_name):
+    """make_sharded_xengine_stacked (all_to_all lane->channel re-shard +
+    per-chip stacked Gram) == the unsharded stacked engine, including
+    pipeline-integration emission and int8 exact accumulation."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.sharding import make_sharded_xengine_stacked
+
+    mesh = make_mesh()
+    d = mesh.shape["shard"]
+    s, p, f, t = 2 * d, 2, 2 * d, 16
+    sp = s * p
+    rng = np.random.default_rng(3)
+    scale = 1.0 / (127.0 * 127.0) if dt_name == "int8" else 1.0
+    init_s, apply_s = make_sharded_xengine_stacked(
+        s, f, p, t, mesh, pipeline_integration=2, scale=scale)
+    init_q, apply_q = xengine.make_xengine_channel_major(
+        s, f, p, t, pipeline_integration=2, scale=scale)
+    st_s, st_q = init_s(), init_q()
+    for k in range(4):
+        if dt_name == "int8":
+            zr = rng.integers(-127, 128, (f, t, sp)).astype(np.int8)
+            zi = rng.integers(-127, 128, (f, t, sp)).astype(np.int8)
+        else:
+            zr = rng.standard_normal((f, t, sp)).astype(np.float32)
+            zi = rng.standard_normal((f, t, sp)).astype(np.float32)
+        st_s, (out_s, ready_s) = apply_s(st_s, (jnp.asarray(zr),
+                                                jnp.asarray(zi)))
+        st_q, (out_q, ready_q) = apply_q(st_q, (jnp.asarray(zr),
+                                                jnp.asarray(zi)))
+        assert bool(ready_s) == bool(ready_q) == (k % 2 == 1)
+        np.testing.assert_allclose(np.asarray(out_s.re), np.asarray(out_q.re),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_s.im), np.asarray(out_q.im),
+                                   rtol=1e-5, atol=1e-4)
