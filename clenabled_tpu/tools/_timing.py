@@ -43,6 +43,17 @@ def _fence(out) -> None:
         float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:8]))
 
 
+def slope_per_call(t1, k1, t2, k2):
+    """Per-call seconds from a two-point measurement.  Falls back to the
+    naive average t2/k2 when the slope collapses >10× below it (tiny/fast
+    runs where timer noise swamps the difference)."""
+    s = (t2 - t1) / (k2 - k1)
+    avg = t2 / k2
+    if s <= avg / 10:
+        s = avg
+    return max(s, 1e-9)
+
+
 def time_fn(fn, *args, iterations: int = 200, warmup: int = 3):
     """Seconds per call (post-compile) via the two-point slope."""
     del warmup
@@ -62,9 +73,9 @@ def time_fn(fn, *args, iterations: int = 200, warmup: int = 3):
             out = fn(*args)
         _fence(out)
         t2 = time.perf_counter() - t0
-        s = (t2 - t1) / (k2 - k1)
+        s = slope_per_call(t1, k1, t2, k2)
         best = s if best is None else min(best, s)
-    return max(best, 1e-9)
+    return best
 
 
 def time_stateful(fn, state, *args, iterations: int = 200, warmup: int = 3):
@@ -91,9 +102,9 @@ def time_stateful(fn, state, *args, iterations: int = 200, warmup: int = 3):
         t0 = time.perf_counter()
         run(k2)
         t2 = time.perf_counter() - t0
-        s_ = (t2 - t1) / (k2 - k1)
+        s_ = slope_per_call(t1, k1, t2, k2)
         best = s_ if best is None else min(best, s_)
-    return max(best, 1e-9)
+    return best
 
 
 def rand_complex(n, seed=0):

@@ -51,29 +51,40 @@ def _bench_dtype(in_dtype_name: str, n_log2: int, steps: int) -> None:
                   for _ in range(4)]
     frame_bytes = frames[0][0].nbytes * 2
 
-    # 1) link-only
+    from clenabled_tpu.tools._timing import _fence, slope_per_call
+
+    # 1) link-only (slope: K1 vs K2 puts, fenced by a scalar readback —
+    # block_until_ready can silently no-op, BENCH_TPU.md "recalibration")
     up = [jax.device_put(f, dev) for f in frames[0]]
-    jax.block_until_ready(up)
-    reps = max(3, steps // 4)
-    t0 = time.perf_counter()
-    for i in range(reps):
-        up = [jax.device_put(f, dev) for f in frames[i % len(frames)]]
-    jax.block_until_ready(up)
-    link_s = (time.perf_counter() - t0) / reps
+    _fence(up)
+    k1, k2 = max(2, steps // 4), max(6, steps)
+
+    def put_reps(k):
+        for i in range(k):
+            up = [jax.device_put(f, dev) for f in frames[i % len(frames)]]
+        _fence(up)
+
+    t0 = time.perf_counter(); put_reps(k1); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); put_reps(k2); t2 = time.perf_counter() - t0
+    link_s = slope_per_call(t1, k1, t2, k2)
     link_gbs = frame_bytes / link_s / 1e9
     link_msps = n / link_s / 1e6
 
-    # 2) device-only
+    # 2) device-only (tail-chained steady state, slope-measured)
     dr = jax.device_put(frames[0][0], dev)
     di = jax.device_put(frames[0][1], dev)
     out = fn(dr, di, tr, ti)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    ctr, cti = tr, ti
-    for _ in range(steps):
-        fd, xre, xim, ctr, cti = fn(dr, di, ctr, cti)
-    jax.block_until_ready((fd, ctr))
-    dev_s = (time.perf_counter() - t0) / steps
+    _fence(out)
+
+    def dev_reps(k):
+        ctr, cti = tr, ti
+        for _ in range(k):
+            fd, xre, xim, ctr, cti = fn(dr, di, ctr, cti)
+        _fence((fd, ctr))
+
+    t0 = time.perf_counter(); dev_reps(k1); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); dev_reps(k2); t2 = time.perf_counter() - t0
+    dev_s = slope_per_call(t1, k1, t2, k2)
     dev_msps = n / dev_s / 1e6
 
     # 3) end-to-end through HostIngest

@@ -52,15 +52,25 @@ def main() -> None:
         x = jax.device_put(
             (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape)
              ).astype(np.complex64))
+        from clenabled_tpu.tools._timing import _fence, slope_per_call
+
         out = fn(x, hist)
-        jax.block_until_ready(out)
-        start = time.perf_counter()
-        h = hist
-        for _ in range(args.iterations):
-            fd, xmat, h = fn(x, h)
-        jax.block_until_ready((fd, xmat, h))
-        elapsed = time.perf_counter() - start
-        total_msps = args.samples_per_chip * d * args.iterations / elapsed / 1e6
+        _fence(out)
+
+        def reps(k):
+            h = hist
+            for _ in range(k):
+                fd, xmat, h = fn(x, h)
+            _fence((fd, xmat, h))
+
+        # two-point slope removes the per-sync RTT (BENCH_TPU.md)
+        k1, k2 = max(2, args.iterations // 8), args.iterations
+        start = time.perf_counter(); reps(k1)
+        t1 = time.perf_counter() - start
+        start = time.perf_counter(); reps(k2)
+        t2 = time.perf_counter() - start
+        step_s = slope_per_call(t1, k1, t2, k2)
+        total_msps = args.samples_per_chip * d / step_s / 1e6
         per_chip = total_msps / d
         if base_msps is None:
             base_msps = per_chip

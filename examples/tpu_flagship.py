@@ -38,14 +38,26 @@ def main():
     xr = jax.device_put(xr_np)
     xi = jax.device_put(xi_np)
 
+    from clenabled_tpu.tools._timing import _fence, slope_per_call
+
     out = fn(xr, xi, hr, hi)
-    jax.block_until_ready(out)
-    start = time.perf_counter()
+    _fence(out)
+    # two-point slope removes the remote runtime's per-sync RTT
     iters = 3 if on_cpu else 20
-    for _ in range(iters):
-        fd, xre, xim, hr, hi = fn(xr, xi, hr, hi)
-    jax.block_until_ready((fd, xre, xim))
-    elapsed = time.perf_counter() - start
+
+    def reps(k, hr, hi):
+        for _ in range(k):
+            fd, xre, xim, hr, hi = fn(xr, xi, hr, hi)
+        _fence((fd, xre, xim))
+        return fd, xre, xim
+
+    k1 = max(1, iters // 4)
+    start = time.perf_counter(); reps(k1, hr, hi)
+    t1 = time.perf_counter() - start
+    start = time.perf_counter(); fd, xre, xim = reps(iters, hr, hi)
+    t2 = time.perf_counter() - start
+    elapsed = slope_per_call(t1, k1, t2, iters) * (iters - k1)
+    iters = iters - k1
 
     from clenabled_tpu.dsp import xengine
 
