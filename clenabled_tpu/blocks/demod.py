@@ -67,6 +67,7 @@ class CostasLoop(Block):
         self.name = name
         self.loop_bw = loop_bw
         self.order = order
+        self.planar = planar
         self.chunked = chunked
         self.num_streams = num_streams
         if num_streams > 1:

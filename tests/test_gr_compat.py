@@ -142,6 +142,33 @@ def test_wrap_sink_publishes_messages(fake_gr):
     assert int(np.asarray(payload["corrective_lags"]).ravel()[0]) == -3
 
 
+def test_wrap_planar_block_converts_streams(fake_gr):
+    """A planar=True block behind wrap(): complex GR buffers are converted
+    to planar.PC on the way in and back to complex on the way out — the
+    path a complex-free TPU backend (axon) uses inside a GR flowgraph."""
+    from clenabled_tpu.blocks import CostasLoop
+    from clenabled_tpu.gr_compat import wrap
+
+    blk = CostasLoop(0.1, 2, planar=True)
+    g = wrap(blk)
+    n = 1024
+    t = np.arange(n)
+    x = np.exp(1j * (2 * np.pi * 0.01 * t + 0.5)).astype(np.complex64)
+    out = np.zeros(n, np.complex64)
+    assert g.general_work([x], [out]) == n
+
+    # direct planar drive == wrapped drive
+    from clenabled_tpu.dsp import planar
+    import jax.numpy as jnp
+
+    blk2 = CostasLoop(0.1, 2, planar=True)
+    st = blk2.init_state()
+    _, (want_pc,), _ = blk2.apply(
+        st, [planar.PC(jnp.asarray(x.real), jnp.asarray(x.imag))])
+    want = np.asarray(want_pc.re) + 1j * np.asarray(want_pc.im)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
 def test_wrap_source_produces_frames(fake_gr):
     from clenabled_tpu.blocks import SignalSource
     from clenabled_tpu.gr_compat import wrap
