@@ -58,7 +58,10 @@ def main() -> None:
         frame2 = planar.PC(jax.device_put(T.rand_float(n2, 3)),
                            jax.device_put(T.rand_float(n2, 4)))
         secs = T.time_stateful(oapp, oini(), frame2, iterations=it)
-        T.report(f"freq-domain OFA (fft {plan.fftsize})", n2, secs)
+        # plan is either the XLA OFA plan (fftsize) or the fused Pallas
+        # overlap-save plan (in-VMEM window of n samples)
+        size = getattr(plan, "fftsize", None) or plan.n
+        T.report(f"freq-domain OFA (fft {size})", n2, secs)
         return
 
     x = jax.device_put(T.rand_complex(args.blocksize))

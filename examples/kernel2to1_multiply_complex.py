@@ -11,7 +11,7 @@ This file doubles as the loadable kernel module:
                       kernelFnName="multiply_complex")
     python -m clenabled_tpu.tools.test_clkernel \
         --kernelfile=examples/kernel2to1_multiply_complex.py \
-        --fnname=multiply_complex --inputs=2 --complex
+        --fnname=multiply_complex --2to1 --complex
 """
 
 import jax.numpy as jnp
