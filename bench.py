@@ -67,7 +67,10 @@ def main() -> None:
 
     k1, k2 = 10, 70
     best = 1e9
-    for _ in range(3):  # best-of-3: the remote link jitters run-to-run
+    # best-of-5: the shared TPU stalls erratically under external load
+    # (multi-hundred-us per-dispatch hiccups) — the best slope is the
+    # machine's steady-state capability
+    for _ in range(5):
         t1 = run(k1, hr, hi)
         t2 = run(k2, hr, hi)
         best = min(best, (t2 - t1) / (k2 - k1))
