@@ -55,8 +55,12 @@ class XCorrelate(Block):
     def apply(self, state, inputs):
         from clenabled_tpu.dsp import planar
 
-        nb = self.accumulate_frames
         sl = self.signal_length
+        first = inputs[0].re if isinstance(inputs[0], planar.PC) else inputs[0]
+        # ALL whole windows in the frame — the multi-rate solver may pick a
+        # super-frame that is a larger multiple of the quantum than
+        # accumulate_frames·signal_length; no samples are dropped
+        nb = first.shape[-1] // sl
 
         def windows(x):
             """[..., nb·sl] → [nb, sl] windows of one input stream."""
@@ -195,9 +199,13 @@ class XEngine(Block):
         samples = integration * num_channels * self.npol
         self.quantum = samples * 2 if data_type == 5 else samples
         self.planar = planar
+        if channel_major and not planar:
+            raise ValueError(
+                "channel_major (the stacked Gram engine) is planar-only — "
+                "pass planar=True")
         if channel_major is None:
             channel_major = planar
-        self.channel_major = channel_major and planar
+        self.channel_major = bool(channel_major) and planar
         if self.channel_major:
             # raw-int ingest: quantization scale applied once on the Gram
             scale = {5: 1.0 / 127.0 ** 2, 6: 1.0 / 7.0 ** 2}.get(

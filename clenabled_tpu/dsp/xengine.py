@@ -65,16 +65,26 @@ def unpack_char_int8(raw):
     ingest for the int8-MXU stacked engine (scale 1/127² applied once on
     the integer Gram result; exact, unlike the reference's per-sample
     1/127 float conversion, lib/clXEngine_impl.cc:831-845)."""
-    pairs = jnp.asarray(raw, jnp.int8).reshape(raw.shape[:-1] + (-1, 2))
+    b = jnp.asarray(raw, jnp.int8)
+    pairs = b.reshape(b.shape[:-1] + (-1, 2))
     return pairs[..., 0], pairs[..., 1]
+
+
+def _nib_signed(nib):
+    """4-bit two's-complement nibble (int32 in [0, 15]) → signed value with
+    the reference LUT's convention 0b1000 → 0 (lib/clXEngine_impl.cc
+    _TWOS_LUT) — pure arithmetic+select, NO table gather (TPU gathers over
+    the full sample stream are ~30× slower)."""
+    v = nib - ((nib & 8) << 1)           # standard sign extension (8 → −8)
+    return jnp.where(nib == 8, 0, v)
 
 
 def unpack_packed_4bit_int8(raw):
     """Packed 4-bit two's-complement I/Q → (re, im) int8, UNSCALED
     (values in [-7, 7]; scale 1/7² applied on the Gram result)."""
     b = jnp.asarray(raw, jnp.uint8).astype(jnp.int32)
-    lut = jnp.asarray(_TWOS_LUT.astype(np.int8))
-    return lut[b >> 4], lut[b & 0xF]
+    return (_nib_signed(b >> 4).astype(jnp.int8),
+            _nib_signed(b & 0xF).astype(jnp.int8))
 
 
 def unpack_char_planar(raw):
@@ -91,9 +101,9 @@ def unpack_packed_4bit_planar(raw):
     from clenabled_tpu.dsp import planar
 
     b = jnp.asarray(raw, jnp.uint8).astype(jnp.int32)
-    lut = jnp.asarray(_TWOS_LUT)
-    return planar.PC(lut[b >> 4] * jnp.float32(1.0 / 7.0),
-                     lut[b & 0xF] * jnp.float32(1.0 / 7.0))
+    return planar.PC(
+        _nib_signed(b >> 4).astype(jnp.float32) * jnp.float32(1.0 / 7.0),
+        _nib_signed(b & 0xF).astype(jnp.float32) * jnp.float32(1.0 / 7.0))
 
 
 def unpack_packed_4bit(raw):
@@ -102,9 +112,8 @@ def unpack_packed_4bit(raw):
     X/Y pol pair as consecutive bytes (uchar2, :846-855) which is just two
     consecutive samples here."""
     b = jnp.asarray(raw, jnp.uint8).astype(jnp.int32)
-    lut = jnp.asarray(_TWOS_LUT)
-    i = lut[b >> 4] * jnp.float32(1.0 / 7.0)
-    q = lut[b & 0xF] * jnp.float32(1.0 / 7.0)
+    i = _nib_signed(b >> 4).astype(jnp.float32) * jnp.float32(1.0 / 7.0)
+    q = _nib_signed(b & 0xF).astype(jnp.float32) * jnp.float32(1.0 / 7.0)
     return (i + 1j * q).astype(jnp.complex64)
 
 
@@ -147,13 +156,7 @@ def xengine_correlate(z, npol: int = 2,
     g = _gram(z, num_inputs=s, npol=p)
     if output_format == CLXCORR_FULL_MATRIX:
         return g
-    st = baseline_stations(s)
-    s1, s2 = jnp.asarray(st[:, 0]), jnp.asarray(st[:, 1])
-    # row index (s1, p0), col index (s2, p1) for all npol² products
-    p0 = jnp.arange(p).repeat(p)          # [p²] e.g. X X Y Y
-    p1 = jnp.tile(jnp.arange(p), p)       # [p²] e.g. X Y X Y
-    rows = s1[:, None] * p + p0[None, :]  # [nb, p²]
-    cols = s2[:, None] * p + p1[None, :]
+    rows, cols = _triangular_index(s, p)
     return g[:, rows, cols]               # [F, nb, p²]
 
 
@@ -189,12 +192,7 @@ def xengine_correlate_planar(z, npol: int = 2,
     g = planar.PC(rr + ii, ir - ri)
     if output_format == CLXCORR_FULL_MATRIX:
         return g
-    st = baseline_stations(s)
-    s1, s2 = jnp.asarray(st[:, 0]), jnp.asarray(st[:, 1])
-    p0 = jnp.arange(p).repeat(p)
-    p1 = jnp.tile(jnp.arange(p), p)
-    rows = s1[:, None] * p + p0[None, :]
-    cols = s2[:, None] * p + p1[None, :]
+    rows, cols = _triangular_index(s, p)
     return planar.PC(g.re[:, rows, cols], g.im[:, rows, cols])
 
 
@@ -230,16 +228,13 @@ def xengine_correlate_channel_major(zr, zi, npol: int = 2,
     g = planar.PC(rr + ii, ir - ri)
     if output_format == CLXCORR_FULL_MATRIX:
         return g
-    st = baseline_stations(s)
-    s1, s2 = jnp.asarray(st[:, 0]), jnp.asarray(st[:, 1])
-    p0 = jnp.arange(npol).repeat(npol)
-    p1 = jnp.tile(jnp.arange(npol), npol)
-    rows = s1[:, None] * npol + p0[None, :]
-    cols = s2[:, None] * npol + p1[None, :]
+    rows, cols = _triangular_index(s, npol)
     return planar.PC(g.re[:, rows, cols], g.im[:, rows, cols])
 
 
 def _triangular_index(s: int, npol: int):
+    """[nb, npol²] (row, col) indices extracting the xGPU triangular order
+    (pol products XX,XY,YX,YY) from a full [S·P, S·P] Gram matrix."""
     st = baseline_stations(s)
     s1, s2 = jnp.asarray(st[:, 0]), jnp.asarray(st[:, 1])
     p0 = jnp.arange(npol).repeat(npol)
@@ -247,6 +242,23 @@ def _triangular_index(s: int, npol: int):
     rows = s1[:, None] * npol + p0[None, :]
     cols = s2[:, None] * npol + p1[None, :]
     return rows, cols
+
+
+def _pipeline_emit(accum, corr, count, pipe: int):
+    """Shared pipeline-integration state machine: accumulate on device and
+    emit every ``pipe`` calls, zeros in between (the reference's '+='
+    kernels + enqueueFillBuffer zeroing, lib/clXEngine_impl.cc:289-292,
+    :779-812).  accum/corr are matching pytrees of arrays.
+
+    Returns (new_accum, new_count, out, ready)."""
+    accum = jax.tree.map(jnp.add, accum, corr)
+    count = count + 1
+    ready = count >= pipe
+    zeros = jax.tree.map(jnp.zeros_like, accum)
+    out = jax.tree.map(lambda a, z: jnp.where(ready, a, z), accum, zeros)
+    new_accum = jax.tree.map(lambda a, z: jnp.where(ready, z, a),
+                             accum, zeros)
+    return new_accum, jnp.where(ready, jnp.int32(0), count), out, ready
 
 
 def xengine_correlate_stacked(zr, zi, npol: int = 2,
@@ -337,18 +349,9 @@ def make_xengine_channel_major(num_inputs: int, num_channels: int, npol: int,
                                          output_format=output_format,
                                          compute_dtype=compute_dtype,
                                          scale=scale)
-        accum = pl_mod.add(state.accum, corr)
-        count = state.count + 1
-        ready = count >= pipe
-        zero = pl_mod.zeros(out_shape)
-        out = pl_mod.PC(jnp.where(ready, accum.re, zero.re),
-                        jnp.where(ready, accum.im, zero.im))
-        new_state = XEngineState(
-            accum=pl_mod.PC(jnp.where(ready, zero.re, accum.re),
-                            jnp.where(ready, zero.im, accum.im)),
-            count=jnp.where(ready, jnp.int32(0), count),
-        )
-        return new_state, (out, ready)
+        accum, count, out, ready = _pipeline_emit(
+            state.accum, corr, state.count, pipe)
+        return XEngineState(accum=accum, count=count), (out, ready)
 
     return init_state, apply
 
@@ -401,18 +404,9 @@ def make_xengine(num_inputs: int, num_channels: int, npol: int,
                     f"frames shape {frames.re.shape} != {expected}")
             corr = xengine_correlate_planar(frames, npol=npol,
                                             output_format=output_format)
-            accum = pl_mod.add(state.accum, corr)
-            count = state.count + 1
-            ready = count >= pipe
-            zero = pl_mod.zeros(out_shape)
-            out = pl_mod.PC(jnp.where(ready, accum.re, zero.re),
-                            jnp.where(ready, accum.im, zero.im))
-            new_state = XEngineState(
-                accum=pl_mod.PC(jnp.where(ready, zero.re, accum.re),
-                                jnp.where(ready, zero.im, accum.im)),
-                count=jnp.where(ready, jnp.int32(0), count),
-            )
-            return new_state, (out, ready)
+            accum, count, out, ready = _pipeline_emit(
+                state.accum, corr, state.count, pipe)
+            return XEngineState(accum=accum, count=count), (out, ready)
 
         return init_state, apply
 
@@ -429,14 +423,8 @@ def make_xengine(num_inputs: int, num_channels: int, npol: int,
                 f"frames shape {frames.shape} != {expected}"
             )
         corr = xengine_correlate(frames, npol=npol, output_format=output_format)
-        accum = state.accum + corr
-        count = state.count + 1
-        ready = count >= pipe
-        out = jnp.where(ready, accum, jnp.zeros_like(accum))
-        new_state = XEngineState(
-            accum=jnp.where(ready, jnp.zeros_like(accum), accum),
-            count=jnp.where(ready, jnp.int32(0), count),
-        )
-        return new_state, (out, ready)
+        accum, count, out, ready = _pipeline_emit(
+            state.accum, corr, state.count, pipe)
+        return XEngineState(accum=accum, count=count), (out, ready)
 
     return init_state, apply

@@ -34,11 +34,16 @@ import numpy as np
 
 
 def _to_numpy(y):
-    """Block output leaf → numpy (handles planar.PC and jax arrays)."""
+    """Block output leaf → numpy (handles planar.PC and jax arrays).
+    Planar pairs assemble straight into complex64 — no complex128
+    intermediate on the per-work-call hot path."""
     from clenabled_tpu.dsp import planar
 
     if isinstance(y, planar.PC):
-        return np.asarray(y.re) + 1j * np.asarray(y.im)
+        out = np.empty(np.shape(y.re), np.complex64)
+        out.real = np.asarray(y.re)
+        out.imag = np.asarray(y.im)
+        return out
     return np.asarray(y)
 
 

@@ -77,13 +77,9 @@ def make_sharded_xengine(num_inputs: int, num_channels: int, npol: int,
                                    tiled=True)
         corr = dsp_xengine.xengine_correlate(z_all, npol=npol,
                                              output_format=output_format)
-        accum = accum + corr
-        count = count + 1
-        ready = count >= pipe
-        out = jnp.where(ready, accum, jnp.zeros_like(accum))
-        new_accum = jnp.where(ready, jnp.zeros_like(accum), accum)
-        new_count = jnp.where(ready, jnp.int32(0), count)
-        return (new_accum, new_count), (out, ready)
+        accum, count, out, ready = dsp_xengine._pipeline_emit(
+            accum, corr, count, pipe)
+        return (accum, count), (out, ready)
 
     def apply(state, frames):
         frames = jnp.asarray(frames, jnp.complex64)
@@ -151,16 +147,10 @@ def make_sharded_xengine_stacked(num_inputs: int, num_channels: int,
         corr = dsp_xengine.xengine_correlate_stacked(
             zr_all, zi_all, npol=npol, output_format=output_format,
             compute_dtype=compute_dtype, scale=scale)
-        acc_re = acc_re + corr.re
-        acc_im = acc_im + corr.im
-        count = count + 1
-        ready = count >= pipe
-        out_re = jnp.where(ready, acc_re, jnp.zeros_like(acc_re))
-        out_im = jnp.where(ready, acc_im, jnp.zeros_like(acc_im))
-        new_re = jnp.where(ready, jnp.zeros_like(acc_re), acc_re)
-        new_im = jnp.where(ready, jnp.zeros_like(acc_im), acc_im)
-        new_count = jnp.where(ready, jnp.int32(0), count)
-        return ((new_re, new_im), new_count), ((out_re, out_im), ready)
+        (acc_re, acc_im), count, (out_re, out_im), ready = \
+            dsp_xengine._pipeline_emit(
+                (acc_re, acc_im), (corr.re, corr.im), count, pipe)
+        return ((acc_re, acc_im), count), ((out_re, out_im), ready)
 
     def apply(state, frames):
         zr, zi = frames

@@ -347,9 +347,20 @@ class Runner:
         """Live filter retune: block.set_taps(taps) + refresh() in one call.
         The filter's carried tail is translated, not reset — where old and
         new taps agree the output stream is bit-identical to an
-        uninterrupted run (tests/test_retune.py)."""
-        block.set_taps(taps)
-        self.refresh()
+        uninterrupted run (tests/test_retune.py).
+
+        Atomic: if the new taps are incompatible with the running graph
+        (quantum/rate validation in refresh()), the block is rolled back to
+        its pre-call configuration and the stream keeps running on the old
+        taps — no half-applied retune."""
+        snapshot = dict(block.__dict__)
+        try:
+            block.set_taps(taps)
+            self.refresh()
+        except Exception:
+            block.__dict__.clear()
+            block.__dict__.update(snapshot)
+            raise
 
     # ---- checkpoint / resume -------------------------------------------
     # The reference has no checkpointing (SURVEY §5); its "state" hides in

@@ -137,8 +137,13 @@ class SynchronizedIngest:
         while True:
             ts = {h.timestamp for h in heads}
             if len(ts) > 1:
-                # a stream dropped frames — re-align on the max and flag
+                # a stream dropped frames — re-align on the max, rounded up
+                # to the block multiple so resumed output stays on the same
+                # integration grid as the initial sync (:111-116)
+                bm = self._sync.block_multiple
                 new_target = max(ts)
+                if new_target % bm:
+                    new_target += bm - (new_target % bm)
                 old = min(ts)
                 heads = [self._advance_to(i, h, new_target)
                          for i, h in enumerate(heads)]

@@ -178,7 +178,7 @@ IO = {
     "clXCorrelate": ([("in", "complex", "${num_inputs}")],
                      [("msg", "corr")]),
     "clxcorrelate_fft_vcf": ([("in", "complex", "${num_inputs}")],
-                             [("out", "float", None)]),
+                             [("out", "float", "${ num_inputs - 1 }")]),
     "clXEngine": ([("in", "complex", "${num_inputs}")], [("msg", "xcorr")]),
 }
 

@@ -112,8 +112,15 @@ def test_retune_quantum_violation_raises():
     r = g.compile(frame_size=frame)
     r.step(np.zeros(frame, np.complex64))
     big = np.hanning(4097).astype(np.float32)  # quantum grows past frame
+    old_taps = np.asarray(flt.taps())
+    old_quantum = flt.quantum
     with pytest.raises(ValueError):
         r.set_taps(flt, big)
+    # atomic: the failed retune rolled the block back — it still reports
+    # the OLD taps/quantum and the stream keeps running on them
+    np.testing.assert_array_equal(np.asarray(flt.taps()), old_taps)
+    assert flt.quantum == old_quantum
+    r.step(np.zeros(frame, np.complex64))
 
 
 def test_retune_downstream_state_untouched():

@@ -135,3 +135,44 @@ def test_signal_source_retune():
     spec2 = np.abs(np.fft.fft(f2))
     assert abs(spec1.argmax() / n * fs - 100e3) < fs / n
     assert abs(spec2.argmax() / n * fs - 200e3) < fs / n
+
+
+def test_synchronized_ingest_resync_respects_block_multiple():
+    """After a drop, re-alignment rounds UP to the block multiple so the
+    resumed stream stays on the original integration grid (:111-116)."""
+    from clenabled_tpu.streaming.sync import SynchronizedIngest
+
+    a = _tagged(0, 40, 0)
+    b = _tagged(0, 40, 1000)
+    del b[18:21]  # b resumes at 21 — next grid point is 24
+    resyncs = []
+    ing = SynchronizedIngest([a, b], block_multiple=8,
+                             on_resync=lambda o, n: resyncs.append((o, n)))
+    tuples = list(ing)
+    assert resyncs == [(18, 24)]
+    assert tuples[:18] == [(k, 1000 + k) for k in range(18)]
+    assert tuples[18:] == [(k, 1000 + k) for k in range(24, 40)]
+
+
+def test_xcorrelate_processes_every_window_in_superframe():
+    """A frame larger than accumulate_frames*signal_length (a legal
+    multi-rate super-frame) must correlate ALL its windows — no silent
+    sample drop (round-2 review finding)."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.blocks import XCorrelate
+
+    sl = 256
+    blk = XCorrelate(2, signal_length=sl, max_search_index=16,
+                     accumulate_frames=2)
+    rng = np.random.default_rng(4)
+    n = 4 * sl   # twice the quantum
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    y = np.roll(x, 5)
+    state = blk.init_state()
+    state, _, msg = blk.apply(state, [jnp.asarray(x), jnp.asarray(y)])
+    lags = np.asarray(msg["corr"]["corrective_lags"])
+    assert lags.shape[0] == 4          # every window, not just the first 2
+    assert int(state) == 4             # counter tracks the true stream
+    np.testing.assert_array_equal(lags[:, 0], [-5, -5, -5, -5])

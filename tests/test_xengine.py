@@ -202,3 +202,34 @@ def test_channel_major_pipeline_integration():
     assert [k for k, *_ in emitted] == [2, 5]
     for _, got_re, got_im, want_re in emitted:
         np.testing.assert_allclose(got_re, want_re, rtol=1e-5, atol=1e-4)
+
+
+def test_unpack_4bit_arithmetic_matches_lut():
+    """_nib_signed (gather-free arithmetic unpack) matches the reference's
+    two's-complement LUT for all 256 byte values, in every unpack flavor."""
+    raw = np.arange(256, dtype=np.uint8)
+    lut = xengine._TWOS_LUT
+    want_i = lut[raw >> 4]
+    want_q = lut[raw & 0xF]
+    re8, im8 = xengine.unpack_packed_4bit_int8(raw)
+    np.testing.assert_array_equal(np.asarray(re8), want_i.astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(im8), want_q.astype(np.int8))
+    pc = xengine.unpack_packed_4bit_planar(raw)
+    np.testing.assert_allclose(np.asarray(pc.re), want_i / 7.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pc.im), want_q / 7.0, rtol=1e-6)
+    z = xengine.unpack_packed_4bit(raw)
+    np.testing.assert_allclose(np.asarray(z).real, want_i / 7.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(z).imag, want_q / 7.0, rtol=1e-6)
+
+
+def test_unpack_char_int8_accepts_lists():
+    re8, im8 = xengine.unpack_char_int8([1, -2, 3, -4])
+    np.testing.assert_array_equal(np.asarray(re8), [1, 3])
+    np.testing.assert_array_equal(np.asarray(im8), [-2, -4])
+
+
+def test_channel_major_requires_planar():
+    from clenabled_tpu.blocks import XEngine
+
+    with pytest.raises(ValueError):
+        XEngine(1, 2, 4, planar=False, channel_major=True)
