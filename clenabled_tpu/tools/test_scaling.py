@@ -22,7 +22,30 @@ def main() -> None:
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh")
+    ap.add_argument("--xengine", action="store_true",
+                    help="weak-scale the stacked sharded X-Engine instead "
+                    "of the flagship (stations grow with the mesh; int8 "
+                    "lanes over the all_to_all)")
+    ap.add_argument("--stations-per-chip", type=int, default=8)
+    ap.add_argument("--channels", type=int, default=32)
+    ap.add_argument("--integration", type=int, default=512)
     args = ap.parse_args()
+
+    if args.cpu:
+        # virtual multi-device CPU mesh: the flag must be set before jax
+        # imports (harmless if the caller already exported it)
+        import os
+
+        if "xla_force_host_platform_device_count" not in os.environ.get(
+                "XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count="
+                f"{max(args.devices)}")
+
+    if args.xengine:
+        _xengine_scaling(args)
+        return
 
     import jax
 
@@ -77,6 +100,67 @@ def main() -> None:
         eff = per_chip / base_msps * 100.0
         print(f"  {d} device(s): {total_msps:8.2f} MSPS total   "
               f"{per_chip:8.2f} MSPS/chip   efficiency {eff:5.1f}%")
+
+
+
+def _xengine_scaling(args) -> None:
+    """Weak scaling of make_sharded_xengine_stacked: stations grow with
+    the mesh (S = stations_per_chip·D), so per-chip Gram work stays ~equal
+    while the all_to_all and the baseline count grow — the multi-chip
+    X-Engine deployment shape."""
+    import time
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from clenabled_tpu.dsp import xengine as dsp_xengine
+    from clenabled_tpu.sharding import make_sharded_xengine_stacked
+    from clenabled_tpu.tools._timing import _fence, slope_per_call
+
+    avail = len(jax.devices())
+    sizes = [d for d in args.devices if d <= avail]
+    p, f, t = 2, args.channels, args.integration
+    print(f"platform: {jax.devices()[0].platform} x{avail}   "
+          f"stations/chip: {args.stations_per_chip}  pols: {p}  "
+          f"channels: {f}  integration: {t}  (int8 ingest)")
+    base = None
+    for d in sizes:
+        mesh = Mesh(np.array(jax.devices()[:d]), ("shard",))
+        s = args.stations_per_chip * d
+        init, apply = make_sharded_xengine_stacked(
+            s, f, p, t, mesh, scale=1.0 / 127.0 ** 2)
+        rng = np.random.default_rng(0)
+        import jax.numpy as jnp
+
+        zr = jnp.asarray(rng.integers(-127, 128, (f, t, s * p), dtype=np.int8))
+        zi = jnp.asarray(rng.integers(-127, 128, (f, t, s * p), dtype=np.int8))
+        st0 = init()
+        st, (out, ready) = apply(st0, (zr, zi))
+        _fence(out.re)
+
+        def reps(k):
+            st = st0
+            for _ in range(k):
+                st, (out, ready) = apply(st, (zr, zi))
+            _fence(out.re)
+
+        k1, k2 = max(2, args.iterations // 8), args.iterations
+        t0 = time.perf_counter(); reps(k1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); reps(k2); t2 = time.perf_counter() - t0
+        step_s = slope_per_call(t1, k1, t2, k2)
+        nb = dsp_xengine.num_baselines(s)
+        useful = 8.0 * f * t * nb * p * p
+        tflops = useful / step_s / 1e12
+        per_chip = tflops / d
+        if base is None:
+            base = per_chip
+        print(f"  {d} device(s), S={s}: {tflops:8.3f} TFLOP/s useful   "
+              f"{per_chip:8.3f} /chip   efficiency {per_chip/base*100:5.1f}%")
 
 
 if __name__ == "__main__":
