@@ -26,7 +26,7 @@ class QuadratureDemod(Block):
             from clenabled_tpu.dsp import planar as pl_mod
 
             z = jnp.zeros((1,), jnp.float32)
-            return pl_mod.PC(z, z)
+            return pl_mod.PC(z, jnp.zeros_like(z))
         return jnp.zeros((1,), jnp.complex64)
 
     def apply(self, state, inputs):
@@ -93,8 +93,9 @@ class CostasLoop(Block):
     def init_state(self):
         if self.num_streams > 1:
             s = self.num_streams
-            z = jnp.zeros((s,), jnp.float32)
-            return dsp_demod.CostasState(phase=z, freq=z, error=z)
+            return dsp_demod.CostasState(phase=jnp.zeros((s,), jnp.float32),
+                                         freq=jnp.zeros((s,), jnp.float32),
+                                         error=jnp.zeros((s,), jnp.float32))
         if self.chunked:
             return self._run.init_state()
         return dsp_demod.costas_init()

@@ -338,7 +338,7 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
     def init_state(frame_size: int | None = None):
         del frame_size
         z = jnp.zeros((h,), jnp.float32)
-        return (z, z)
+        return (z, jnp.zeros_like(z))
 
     @jax.jit
     def apply(state, frame):
@@ -385,7 +385,7 @@ def make_channelizer(taps, num_channels: int, ninputs_per_iter: int, ch_map,
         def init_state(frame_size: int | None = None):
             del frame_size
             z = jnp.zeros((ntaps - 1,), jnp.float32)
-            return (z, z)
+            return (z, jnp.zeros_like(z))
 
         @jax.jit
         def apply(history, frame):

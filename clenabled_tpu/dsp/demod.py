@@ -208,7 +208,7 @@ def make_costas_loop_chunked(loop_bw: float, order: int,
 
     def init_state():
         z = jnp.zeros((w,), jnp.float32)
-        return (costas_init(), planar.PC(z, z))
+        return (costas_init(), planar.PC(z, jnp.zeros_like(z)))
 
     def _wrap_pm_pi(x):
         return x - TWO_PI * jnp.round(x / TWO_PI)

@@ -142,7 +142,7 @@ def make_fft_filter_planar(taps, decimation: int = 1,
             def init_state2(frame_size: int | None = None):
                 del frame_size
                 z = jnp.zeros((oplan.tail_len,), jnp.float32)
-                return (z, z)
+                return (z, jnp.zeros_like(z))
 
             @jax.jit
             def _run(xr, xi, tr, ti):
@@ -171,7 +171,7 @@ def make_fft_filter_planar(taps, decimation: int = 1,
     def init_state(frame_size: int | None = None):
         del frame_size
         z = jnp.zeros((plan.ntaps - 1,), jnp.float32)
-        return (z, z)
+        return (z, jnp.zeros_like(z))
 
     def apply(state, frame):
         if frame.re.shape[-1] % quantum:

@@ -122,7 +122,7 @@ def make_fir_filter_planar_xla(taps, decimation: int = 1):
     def init_state(frame_size: int | None = None):
         del frame_size
         z = jnp.zeros((ntaps - 1,), jnp.float32)
-        return (z, z)
+        return (z, jnp.zeros_like(z))
 
     @jax.jit
     def apply(state, frame):
@@ -152,7 +152,7 @@ def make_fir_filter_planar(taps, decimation: int = 1, tile_rows: int = 256,
     def init_state(frame_size: int | None = None):
         del frame_size
         z = jnp.zeros((ntaps - 1,), jnp.float32)
-        return (z, z)
+        return (z, jnp.zeros_like(z))
 
     @jax.jit
     def apply(state, frame):
@@ -303,7 +303,7 @@ def make_interp_fir_filter_planar(taps, interp: int):
     def init_state(frame_size: int | None = None):
         del frame_size
         z = jnp.zeros((kb - 1,), jnp.float32)
-        return (z, z)
+        return (z, jnp.zeros_like(z))
 
     @jax.jit
     def apply(state, frame):

@@ -38,7 +38,7 @@ def make_sharded_fft_filter_planar(taps, mesh: Mesh, axis: str = "shard",
 
     def init_state():
         z = jnp.zeros((d, k - 1), jnp.float32)
-        return (z, z)
+        return (z, jnp.zeros_like(z))
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
@@ -92,7 +92,7 @@ def make_sharded_channelizer_planar(taps, num_channels: int,
 
     def init_state():
         z = jnp.zeros((d, ntaps - 1), jnp.float32)
-        return (z, z)
+        return (z, jnp.zeros_like(z))
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,

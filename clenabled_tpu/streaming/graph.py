@@ -255,6 +255,17 @@ class Flowgraph:
         return order, step, frames, frame_size
 
 
+def _donate_state() -> tuple:
+    """Donate the carried-state pytree to the jitted step (accumulators and
+    tails update in place — the Runner owns the only reference and replaces
+    it with the step's output every call).  The experimental axon runtime
+    rejects donated buffers (InvalidArgument on execute), so donation is
+    disabled there."""
+    from clenabled_tpu.runtime.device import is_axon
+
+    return () if is_axon() else (0,)
+
+
 class Runner:
     """Owns device state, drives the jitted step, dispatches messages."""
 
@@ -262,7 +273,7 @@ class Runner:
                  step_fn: Callable, frames: dict, frame_size: int):
         self._graph = graph
         self._order = list(order)
-        self._step = jax.jit(step_fn)
+        self._step = jax.jit(step_fn, donate_argnums=_donate_state())
         self.frames = frames
         self.frame_size = frame_size
         self.states = tuple(b.init_state() for b in self._order)
@@ -338,7 +349,7 @@ class Runner:
         if [id(b) for b in order] != [id(b) for b in self._order]:
             raise ValueError("refresh() cannot change the block set; "
                              "build a new flowgraph instead")
-        self._step = jax.jit(step)
+        self._step = jax.jit(step, donate_argnums=_donate_state())
         self.frames = frames
         self.states = tuple(
             b.migrate_state(st) for b, st in zip(self._order, self.states))
