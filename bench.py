@@ -65,17 +65,20 @@ def main() -> None:
         _sync((fd, xre, xim))
         return time.perf_counter() - t0
 
+    import statistics
+
     k1, k2 = 10, 70
-    best = 1e9
-    # best-of-5: the shared TPU stalls erratically under external load
-    # (multi-hundred-us per-dispatch hiccups) — the best slope is the
-    # machine's steady-state capability
+    # median-of-5 slopes: robust to the shared TPU's erratic stall phases
+    # in BOTH directions (a stall during the K1 run would deflate a single
+    # slope and overstate throughput; one during K2 would understate it)
+    slopes = []
     for _ in range(5):
         t1 = run(k1, hr, hi)
         t2 = run(k2, hr, hi)
-        best = min(best, (t2 - t1) / (k2 - k1))
+        slopes.append((t2 - t1) / (k2 - k1))
+    per_step = statistics.median(slopes)
 
-    sps = cfg.samples_per_step / best  # per-antenna samples/s
+    sps = cfg.samples_per_step / per_step  # per-antenna samples/s
     msps = sps / 1e6
     print(json.dumps({
         "metric": "fd_xcorr_channelizer_pipeline_4ant",

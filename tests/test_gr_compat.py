@@ -184,3 +184,32 @@ def test_wrap_source_produces_frames(fake_gr):
     want = np.exp(1j * 2 * np.pi * 1000.0 * t).astype(np.complex64)
     got = np.concatenate([out, out2])
     np.testing.assert_allclose(got.real, want.real, atol=1e-4)
+
+
+def test_wrap_interpolating_block(fake_gr):
+    """An interpolating block (rate > 1) through wrap(): forecast asks for
+    fewer inputs than outputs, output_multiple = quantum·rate, and the
+    produced count is n·interp."""
+    from fractions import Fraction
+
+    import jax.numpy as jnp
+
+    from clenabled_tpu.gr_compat import wrap
+    from clenabled_tpu.streaming.block import FunctionBlock
+
+    interp = 4
+
+    def upsample(x):
+        out = jnp.zeros((x.shape[-1], interp), x.dtype)
+        return out.at[:, 0].set(x).reshape(-1)
+
+    blk = FunctionBlock(upsample, rate=Fraction(interp), quantum=8)
+    g = wrap(blk)
+    assert g.output_multiple == 8 * interp
+    need = g.forecast(64, 1)
+    assert need[0] % 8 == 0 and need[0] * interp >= 64
+    x = (np.arange(16) + 0j).astype(np.complex64)
+    out = np.zeros(16 * interp, np.complex64)
+    assert g.general_work([x], [out]) == 16 * interp
+    np.testing.assert_allclose(out[::interp], x, rtol=1e-6)
+    assert not np.any(out.reshape(-1, interp)[:, 1:])
