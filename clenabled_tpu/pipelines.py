@@ -145,7 +145,8 @@ def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
 def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
                            samp_rate: float = 100e6,
                            in_dtype=jnp.float32, mxu_dtype=None,
-                           branch_mxu=None, interpret: bool | None = None):
+                           branch_mxu=None, interpret: bool | None = None,
+                           proto_taps=None):
     """Maximally fused flagship: ONE flat-layout Pallas kernel does PFB →
     DFT → FD-xcorr accumulation → X-Engine Gram accumulation without ever
     materializing spectra in HBM (pallas_kernels.fx_correlate_streams_v2);
@@ -155,16 +156,25 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
     fx_tail_len(in_dtype) − (ntaps−1) samples (fixed pipeline latency; see
     fx_correlate_streams_v2).  in_dtype may be float32, bfloat16, or int8
     (the reference's IChar ingest, lib/clXEngine_impl.cc:831-858) — narrow
-    ingest halves/quarters the HBM traffic, which is this kernel's
-    bottleneck.  TPU-only (interpret mode covers testing)."""
+    ingest halves/quarters the HBM traffic.
+
+    proto_taps: override the channelizer prototype filter (default: the
+    sharp low-pass design, 400 taps at m=16).  The step is MXU-dot-bound
+    and the polyphase branch stage scales with ⌈ntaps/128⌉ banded matmuls
+    per component, so a lighter prototype trades stop-band attenuation for
+    throughput (see BENCH_TPU.md).  TPU-only (interpret mode covers
+    testing)."""
     from clenabled_tpu.dsp import pallas_kernels
 
     a = cfg.num_antennas
     m = cfg.num_channels
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
-                            samp_rate / (2 * m) * 0.2)
+    if proto_taps is None:
+        proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
+                                samp_rate / (2 * m) * 0.2)
+    else:
+        proto = np.asarray(proto_taps, np.float32)
     proto = np.concatenate(
         [proto, np.zeros((-len(proto)) % m, np.float32)])
     taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
