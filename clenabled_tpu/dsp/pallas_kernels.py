@@ -583,7 +583,8 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
                             num_antennas: int, m: int, tile_rows: int = 256,
                             interpret: bool = False, fd_pairs=None,
                             xe_pairs=None, karatsuba: bool = False,
-                            mxu_dtype=None, branch_mxu=None):
+                            mxu_dtype=None, branch_mxu=None,
+                            precision=None):
     """Concat-free fused flagship step (flat-layout kernel, v2).
 
     Unlike fx_correlate_streams, the frame is NOT host-concatenated with
@@ -611,6 +612,16 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
         floor, and the reference's IChar path compiles with
         -cl-fast-relaxed-math anyway — lib/clXEngine_impl.cc:816), float32
         for f32 ingest.  Pass jnp.float32/jnp.bfloat16 to override.
+      precision: matmul precision for every in-kernel dot (a
+        jax.default_matmul_precision name; Mosaic lowers only the default
+        and "float32"/HIGHEST — "tensorfloat32" raises NotImplementedError).
+        MEASURED (round 3, TPU-vs-interpreter parity probe):
+        with the backend default, Mosaic executes f32×f32 dots as a SINGLE
+        bf16-operand MXU pass — mxu_dtype=float32 outputs are bit-identical
+        to mxu_dtype=bfloat16 and ~3e-3 rel from exact-f32 sums.  Pass
+        "float32" for genuinely f32-exact dots (measured ~1.7e-7 rel vs
+        the exact-f32 interpreter; multi-pass, 3.0× the step time — 5.01
+        vs 1.66 ms on the flagship shape).  None = backend default.
 
     Returns (fd_sum [len(fd_pairs), m], gram [len(xe_pairs), 2m]) — same
     post-processing contract as fx_correlate_streams.
@@ -667,13 +678,15 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
         # default ON: the VPU roll/select stage is the fused kernel's
         # compute floor, and the banded-matmul branch stage beats it for
         # every ingest dtype (measured f32 3.87→2.89 ms, int8 2.99→2.21 ms
-        # per 2^23-sample step).  With f32 ingest the matmuls run in f32 —
-        # same dot-product sums, bit-class identical (~1e-7); narrow ingest
-        # uses bf16 operands (exact feed, taps rounded below the 8-bit
-        # quantization floor).
+        # per 2^23-sample step).  NOTE (round-3 correction): with f32
+        # ingest and the default precision, Mosaic runs these dots as one
+        # bf16-operand MXU pass (~3e-3 rel from exact f32, bit-identical
+        # to mxu_dtype=bfloat16 — measured); pass precision="float32" for
+        # exact multi-pass f32 sums.  Narrow ingest uses bf16 operands
+        # (exact feed, taps rounded below the 8-bit quantization floor).
         branch_mxu = True
     consts = consts + (jnp.asarray(_fx_band_matrices(taps_rm, m)),)
-    fd, xe = pl.pallas_call(
+    call = pl.pallas_call(
         partial(_fx_stream_kernel_v2, tile_rows=tile_rows, halo=halo, w=w,
                 a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs,
                 karatsuba=karatsuba, mxu_dtype=mxu_dtype,
@@ -703,7 +716,16 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
             transcendentals=n * max(1, nfd),
         ),
         interpret=interpret,
-    )(xr3, xi3, tr3, ti3, *consts)
+    )
+    if precision is not None:
+        # applies to every jnp.dot traced inside the kernel body (the
+        # kernel is traced at invocation): "float32" forces multi-pass
+        # exact-f32 MXU sums instead of Mosaic's default single
+        # bf16-operand pass
+        with jax.default_matmul_precision(precision):
+            fd, xe = call(xr3, xi3, tr3, ti3, *consts)
+    else:
+        fd, xe = call(xr3, xi3, tr3, ti3, *consts)
     fd_sum = fd[:nfd].reshape(nfd, LANES // m, m).sum(axis=1)
     xef = xe[: 2 * nb].reshape(nb, 2, LANES // m, m).sum(axis=2)
     gram = jnp.concatenate([xef[:, 0, :], xef[:, 1, :]], axis=-1)

@@ -146,7 +146,8 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
                            samp_rate: float = 100e6,
                            in_dtype=jnp.float32, mxu_dtype=None,
                            branch_mxu=None, interpret: bool | None = None,
-                           proto_taps=None):
+                           proto_taps=None, fd_pairs=None, xe_pairs=None,
+                           precision=None):
     """Maximally fused flagship: ONE flat-layout Pallas kernel does PFB →
     DFT → FD-xcorr accumulation → X-Engine Gram accumulation without ever
     materializing spectra in HBM (pallas_kernels.fx_correlate_streams_v2);
@@ -163,7 +164,15 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
     and the polyphase branch stage scales with ⌈ntaps/128⌉ banded matmuls
     per component, so a lighter prototype trades stop-band attenuation for
     throughput (see BENCH_TPU.md).  TPU-only (interpret mode covers
-    testing)."""
+    testing).
+
+    fd_pairs / xe_pairs: restrict which antenna pairs the FD correlator /
+    X-Engine accumulate (defaults: every antenna vs antenna 0; the full
+    auto-inclusive baseline set).  The per-tile epilogue scales with the
+    pair count — trimming 10 XE + 3 FD pairs to 2 + 1 measures ~18% off
+    the 4-antenna step (BENCH_TPU.md round-3 probes) — so deployments that
+    only need a subset of baselines should pass it here rather than
+    discarding outputs."""
     from clenabled_tpu.dsp import pallas_kernels
 
     a = cfg.num_antennas
@@ -192,6 +201,7 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
         fd_sum, gram = pallas_kernels.fx_correlate_streams_v2(
             xr, xi, tr, ti, taps_rm, a, m, tile_rows=tile_rows,
             mxu_dtype=mxu_dtype, branch_mxu=branch_mxu,
+            fd_pairs=fd_pairs, xe_pairs=xe_pairs, precision=precision,
             interpret=interpret)
         fd = jnp.roll(fd_sum / nout, m // 2, axis=-1)    # [A-1, M]
         xre = gram[:, :m].T[:, :, None]                  # [F, nb, 1]

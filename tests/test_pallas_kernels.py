@@ -381,3 +381,30 @@ def test_pfb_oversampled_fused_streaming_continuity():
                                atol=2e-3 * np.abs(want.re).max())
     np.testing.assert_allclose(got_im, np.asarray(want.im), rtol=1e-3,
                                atol=2e-3 * np.abs(want.im).max())
+
+
+def test_fx_v2_precision_kwarg():
+    """precision="float32" plumbs through (on hardware it forces exact
+    multi-pass f32 MXU dots — measured 1.7e-7 rel vs this interpreter path,
+    vs 2.8e-3 for the default single bf16-operand pass; BENCH_TPU.md)."""
+    nstreams, m = 2, 16
+    fs = 100e6
+    proto = firdes.low_pass(1.0, fs, fs / (2 * m) * 0.8, fs / (2 * m) * 0.2)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, _ = channelizer._pfb_constants(proto, m, m)
+    big_h = pallas_kernels.FX_TAIL_LEN
+    n = 256 * m
+    rng = np.random.default_rng(5)
+    xr = rng.standard_normal((nstreams, n)).astype(np.float32)
+    xi = rng.standard_normal((nstreams, n)).astype(np.float32)
+    tr = np.zeros((nstreams, big_h), np.float32)
+    fd0, xe0 = pallas_kernels.fx_correlate_streams_v2(
+        xr, xi, tr, tr, np.asarray(taps_rm), nstreams, m, tile_rows=8,
+        interpret=True)
+    fd1, xe1 = pallas_kernels.fx_correlate_streams_v2(
+        xr, xi, tr, tr, np.asarray(taps_rm), nstreams, m, tile_rows=8,
+        interpret=True, precision="float32")
+    np.testing.assert_allclose(np.asarray(fd1), np.asarray(fd0),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xe1), np.asarray(xe0),
+                               rtol=1e-6, atol=1e-6)

@@ -71,3 +71,31 @@ def test_full_pipeline_planar_matches_complex():
                                rtol=1e-3, atol=1e-2)
     np.testing.assert_allclose(np.asarray(xre) + 1j * np.asarray(xim),
                                np.asarray(xmat_c), rtol=1e-3, atol=1e-1)
+
+
+def test_fused_pipeline_pair_selection():
+    """make_fx_pipeline_fused plumbs fd_pairs/xe_pairs to the kernel: a
+    restricted-pair pipeline's rows equal the corresponding rows of a
+    superset-pair run (the ~18%-of-step epilogue lever, BENCH_TPU.md)."""
+    from clenabled_tpu.pipelines import make_fx_pipeline_fused
+
+    cfg = FxPipelineConfig(num_antennas=4, num_channels=16,
+                           samples_per_step=128 * 256 * 2)
+    full_fd = ((0, 1), (0, 2), (0, 3))
+    full_xe = ((0, 1), (2, 3), (1, 2))
+    fn_full, (xr0, xi0, tr, ti) = make_fx_pipeline_fused(
+        cfg, interpret=True, fd_pairs=full_fd, xe_pairs=full_xe)
+    fn_sub, _ = make_fx_pipeline_fused(
+        cfg, interpret=True, fd_pairs=((0, 2),), xe_pairs=((2, 3),))
+    xr = RNG.standard_normal(xr0.shape).astype(np.float32)
+    xi = RNG.standard_normal(xi0.shape).astype(np.float32)
+    fd_f, xre_f, xim_f, _, _ = fn_full(xr, xi, tr, ti)
+    fd_s, xre_s, xim_s, _, _ = fn_sub(xr, xi, tr, ti)
+    assert np.asarray(fd_s).shape == (1, 16)
+    assert np.asarray(xre_s).shape == (16, 1, 1)
+    np.testing.assert_allclose(np.asarray(fd_s)[0], np.asarray(fd_f)[1],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xre_s)[:, 0], np.asarray(xre_f)[:, 1],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xim_s)[:, 0], np.asarray(xim_f)[:, 1],
+                               rtol=1e-5, atol=1e-5)
