@@ -99,3 +99,22 @@ def test_fused_pipeline_pair_selection():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(xim_s)[:, 0], np.asarray(xim_f)[:, 1],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_exact_f32_context():
+    """clenabled_tpu.exact_f32() wraps jax.default_matmul_precision and the
+    pipelines trace/run inside it (on TPU it restores 1e-7-class matmul
+    sums — BENCH_TPU.md round-3 audit; numerically a no-op on CPU)."""
+    import clenabled_tpu
+    from clenabled_tpu.pipelines import make_fx_pipeline_fused
+
+    cfg = FxPipelineConfig(num_antennas=2, num_channels=16,
+                           samples_per_step=128 * 256)
+    fn, (xr0, xi0, tr, ti) = make_fx_pipeline_fused(cfg, interpret=True)
+    xr = RNG.standard_normal(xr0.shape).astype(np.float32)
+    xi = RNG.standard_normal(xi0.shape).astype(np.float32)
+    with clenabled_tpu.exact_f32():
+        fd_e, xre_e, *_ = fn(xr, xi, tr, ti)
+    fd_d, xre_d, *_ = fn(xr, xi, tr, ti)
+    np.testing.assert_allclose(np.asarray(fd_e), np.asarray(fd_d),
+                               rtol=1e-5, atol=1e-6)
