@@ -928,7 +928,7 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
 def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
                           tile_rows: int = 256, i_offset: int = 0,
                           interpret: bool = False, mxu_dtype=jnp.float32,
-                          flat_output: bool = False):
+                          flat_output: bool = False, precision=None):
     """Fused oversampled (R < M, R | M) PFB channelizer step.
 
     For the virtual stream v = tail ++ frame, output group i's commutator
@@ -952,6 +952,10 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
 
     Returns (zr, zi) each [n/r, m] float32 — rotated, inverse-DFT'd
     channel spectra in output-group order.
+
+    precision: as fx_correlate_streams_v2 — the backend default runs the
+    f32 banded matmuls as one bf16-operand MXU pass; "float32" forces
+    exact multi-pass f32 sums.
     """
     w = taps_rm.shape[0]
     n = xr.shape[-1]
@@ -983,7 +987,7 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
     rows = n // LANES
     er, ei = _pfb_os_constants(taps_rm, m, r, i_offset)
     nq = er.shape[0]
-    zr, zi = pl.pallas_call(
+    os_call = pl.pallas_call(
         partial(_pfb_os_kernel, tile_rows=tile_rows, halo=halo, ell=ell,
                 nq=nq, mxu_dtype=mxu_dtype),
         grid=(rows // tile_rows,),
@@ -1009,9 +1013,15 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xr.reshape(rows, LANES), xi.reshape(rows, LANES),
-      tail_r.reshape(halo, LANES), tail_i.reshape(halo, LANES),
-      er, ei)
+    )
+    os_args = (xr.reshape(rows, LANES), xi.reshape(rows, LANES),
+               tail_r.reshape(halo, LANES), tail_i.reshape(halo, LANES),
+               er, ei)
+    if precision is not None:
+        with jax.default_matmul_precision(precision):
+            zr, zi = os_call(*os_args)
+    else:
+        zr, zi = os_call(*os_args)
     if flat_output:
         # [rows, L, 128] — flat-identical to the [n/r, m] group stream but
         # 128-lane-minor.  Standalone materialization of the [n/r, m] view
