@@ -90,9 +90,15 @@ class Flowgraph:
             raise ValueError("flowgraph has a cycle")
         return order
 
-    def compile(self, frame_size: int | None = 8192) -> "Runner":
+    def compile(self, frame_size: int | None = 8192,
+                precision: str | None = None) -> "Runner":
+        """Build the Runner.  precision: matmul precision for the whole
+        jitted step ("float32" = exact f32 sums on TPU; None = backend
+        default, a single bf16-operand MXU pass for f32 matmuls — see
+        clenabled_tpu.exact_f32 and BENCH_TPU.md's round-3 audit)."""
         order, step, frames, resolved = self._build(frame_size)
-        return Runner(self, order, step, frames, resolved)
+        return Runner(self, order, step, frames, resolved,
+                      precision=precision)
 
     def _resolve_frame_size(self, order, in_edges, ext_ports,
                             frame_size: int | None) -> int:
@@ -270,9 +276,11 @@ class Runner:
     """Owns device state, drives the jitted step, dispatches messages."""
 
     def __init__(self, graph: Flowgraph, order: Sequence[Block],
-                 step_fn: Callable, frames: dict, frame_size: int):
+                 step_fn: Callable, frames: dict, frame_size: int,
+                 precision: str | None = None):
         self._graph = graph
         self._order = list(order)
+        self._precision = precision
         self._step = jax.jit(step_fn, donate_argnums=_donate_state())
         self.frames = frames
         self.frame_size = frame_size
@@ -304,7 +312,15 @@ class Runner:
         import time as _time
 
         t0 = _time.perf_counter()
-        states, tapped, messages = self._step(self.states, tuple(feeds))
+        if self._precision is not None:
+            # precision binds at TRACE time; wrapping every call keeps the
+            # (cheap) context active whenever jit re-traces (first call,
+            # post-refresh(), new input shapes)
+            with jax.default_matmul_precision(self._precision):
+                states, tapped, messages = self._step(self.states,
+                                                      tuple(feeds))
+        else:
+            states, tapped, messages = self._step(self.states, tuple(feeds))
         self.states = states
         for key, val in messages.items():
             for h in self._msg_handlers.get(key, ()):

@@ -304,3 +304,29 @@ def test_multirate_auto_frame_size():
     assert r.frame_size == 8  # B·3 ≡ 0 mod 8 → minimal B = 8
     with pytest.raises(ValueError):
         g.compile(frame_size=12)
+
+
+def test_compile_precision_flag():
+    """Flowgraph.compile(precision="float32") traces the step under exact
+    matmul precision (numerically a no-op on CPU; on TPU it restores
+    1e-7-class f32 sums — BENCH_TPU.md round-3 audit) and survives a
+    refresh()."""
+    import numpy as np
+    from clenabled_tpu import blocks
+    from clenabled_tpu.streaming import Flowgraph
+
+    g = Flowgraph()
+    src = blocks.SignalSource(1e6, 1, 150e3, 1.0, 4096)
+    fft = blocks.Fft(1024, shift=True)
+    mag = blocks.ComplexToMag()
+    g.connect(src, fft)
+    g.connect(fft, mag)
+    tap = g.tap(mag)
+    r_exact = g.compile(precision="float32")
+    r_def = g.compile()
+    a = np.asarray(r_exact.step()[tap])
+    b = np.asarray(r_def.step()[tap])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    r_exact.refresh()
+    a2 = np.asarray(r_exact.step()[tap])
+    assert a2.shape == a.shape
