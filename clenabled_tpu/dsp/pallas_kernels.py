@@ -828,15 +828,20 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
             scratch.at[s, p], sems.at[s, p])
 
     def out_copy(s, j, comp, f):
-        # family f = global out rows L·t + f of tile j, i.e. the [.., f, :]
-        # plane of the [rows, L, 128] output view: ONE rectangular strided
-        # DMA per family.  (In-kernel interleaves all lose: row-strided
-        # sublane stores +22%, lane-offset block stores +65% from the VREG
-        # lane rotation, XLA-side interleave passes 2-3×.)
+        # family f's plane of the FAMILY-MAJOR [L, rows, 128] output: a
+        # fully CONTIGUOUS block DMA.  Round 3 measured the previous
+        # [rows, L, 128]-destination form (one rectangular strided DMA per
+        # family) at ~3.4 ms/step of pure output cost — ~90% of the step,
+        # invariant under tile size, i.e. per-ROW stride setup, not
+        # bandwidth or issue count; the bare dot+input-DMA pattern runs
+        # 0.31 ms.  The caller restores stream order with one XLA
+        # moveaxis (HBM-bandwidth copy).  In-kernel interleaves still
+        # lose: row-strided sublane stores +22%, lane-offset block stores
+        # +65% (VREG lane rotation).
         dst = (out_re, out_im)[comp]
         return pltpu.make_async_copy(
             obuf.at[s, comp, f],
-            dst.at[pl.ds(j * tile_rows, tile_rows), f, :],
+            dst.at[f, pl.ds(j * tile_rows, tile_rows), :],
             osems.at[s, comp, f])
 
     @pl.when(i == 0)
@@ -872,6 +877,12 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
 
     md = jnp.dtype(mxu_dtype)
     narrow = md != jnp.dtype(jnp.float32)
+    # operand loads hoisted OUT of the slot branches: inside pl.when they
+    # re-issue per branch and fence Mosaic's load scheduling
+    erv = [[er_ref[q, f].astype(md) if narrow else er_ref[q, f]
+            for f in range(ell)] for q in range(nq)]
+    eiv = [[ei_ref[q, f].astype(md) if narrow else ei_ref[q, f]
+            for f in range(ell)] for q in range(nq)]
     for s in range(2):                 # static slot unroll (see v2 kernel)
         @pl.when(slot == s)
         def _(s=s):
@@ -880,10 +891,6 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
             if narrow:
                 fr = fr.astype(md)
                 fi = fi.astype(md)
-            erv = [[er_ref[q, f].astype(md) if narrow else er_ref[q, f]
-                    for f in range(ell)] for q in range(nq)]
-            eiv = [[ei_ref[q, f].astype(md) if narrow else ei_ref[q, f]
-                    for f in range(ell)] for q in range(nq)]
             for f in range(ell):
                 zr = (jnp.dot(fr[0:tile_rows], erv[0][f],
                               preferred_element_type=jnp.float32)
@@ -998,8 +1005,8 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, ell, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, ell, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((ell, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((ell, rows, LANES), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, tile_rows + halo, LANES), jnp.float32),
@@ -1022,6 +1029,11 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
             zr, zi = os_call(*os_args)
     else:
         zr, zi = os_call(*os_args)
+    # kernel emits FAMILY-MAJOR [L, rows, 128] planes (contiguous out
+    # DMAs — see out_copy); one XLA transpose restores the interleaved
+    # [rows, L, 128] stream order at HBM-copy cost
+    zr = jnp.moveaxis(zr, 0, 1)
+    zi = jnp.moveaxis(zi, 0, 1)
     if flat_output:
         # [rows, L, 128] — flat-identical to the [n/r, m] group stream but
         # 128-lane-minor.  Standalone materialization of the [n/r, m] view
