@@ -34,18 +34,26 @@ def exact_f32():
     JAX's default matmul precision — measured on this framework's hot
     paths: planar FFT 3.1e-3 rel, overlap-save filter 6.2e-3, fused
     flagship 2.8e-3 versus exact-f32 sums (BENCH_TPU.md round-3 audit).
-    That matches the reference's practical accuracy envelope (its OpenCL
-    kernels compile with -cl-fast-relaxed-math for the hot modes,
-    /root/reference/lib/clXEngine_impl.cc:816) and is the right default
-    for throughput.  Wrap accuracy-critical calls in this context to get
-    true f32 sums (measured 1.2-1.7e-7 rel) at ~3× the matmul cost::
+    Note this default is LESS accurate than the reference's hot modes:
+    its kernels compile with -cl-fast-relaxed-math
+    (/root/reference/lib/clXEngine_impl.cc:816), which relaxes FP
+    ordering/transcendentals but keeps f32 multiply-adds (~1e-6 class).
+    Wrap accuracy-critical calls in this context to get true f32 sums
+    (measured 1.2-1.7e-7 rel) at ~3× the matmul cost::
 
         with clenabled_tpu.exact_f32():
-            out = my_jitted_pipeline(x)     # first call traces here
+            out = my_jitted_pipeline(x)
 
-    The setting binds at TRACE time (it reaches jnp.dot inside Pallas
-    kernels too), so wrap the first call of each jitted function — or use
-    the per-call ``precision=`` arguments on the fused kernels.
+    The matmul precision is part of jax.jit's cache key and binds at
+    trace/dispatch time, so the context must wrap EVERY call of a jitted
+    function, not just the first — a later call outside the context
+    silently retraces (or cache-switches) back to the default-precision
+    executable.  ``streaming.Runner.step`` does exactly this when a
+    precision is configured.  Where wrapping every call is awkward,
+    prefer the per-call ``precision=`` arguments on the fused kernels
+    (``fx_correlate_streams_v2``, ``pfb_oversampled_fused``,
+    ``make_fx_pipeline_fused``) or ``Flowgraph.compile(precision=...)``,
+    which bake exactness into the traced function itself.
     """
     import jax
 

@@ -316,8 +316,9 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
     delayed by OS_TAIL_LEN − ntaps + 1 samples (a fixed pipeline latency —
     the kernel's carried tail is row-aligned, exactly like the flagship
     fx_correlate_streams_v2).  Frame lengths must be multiples of 1024 and
-    of lcm(M, R·L); measured 1,596 Msps at 16ch/R=8 vs 483 for the XLA
-    phase-split path (BENCH_TPU.md)."""
+    of lcm(M, R·L); measured 16,500 Msps at 16ch/R=8/2^23 (round-3
+    in-kernel-interleave kernel, tile 512) vs 483 for the XLA phase-split
+    path (BENCH_TPU.md)."""
     from clenabled_tpu.dsp import pallas_kernels
     from clenabled_tpu.dsp import planar as pl_mod
 
@@ -340,10 +341,15 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
         z = jnp.zeros((h,), jnp.float32)
         return (z, jnp.zeros_like(z))
 
+    ell = m // r
+
     @jax.jit
     def apply(state, frame):
         n = frame.re.shape[-1]
-        tile = 256
+        # tile 512 measured ~15% faster than 256 at 16ch/R=8 (round 3);
+        # cap tile·L at 1024 rows so the interleaved staging buffer stays
+        # ≤4 MB of VMEM at high oversampling factors
+        tile = min(512, 1024 // ell)
         while (n // 128) % tile:
             tile //= 2
         zr, zi = pallas_kernels.pfb_oversampled_fused(

@@ -827,22 +827,22 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
             src.at[pl.ds(start, tile_rows + halo), :],
             scratch.at[s, p], sems.at[s, p])
 
-    def out_copy(s, j, comp, f):
-        # family f's plane of the FAMILY-MAJOR [L, rows, 128] output: a
-        # fully CONTIGUOUS block DMA.  Round 3 measured the previous
-        # [rows, L, 128]-destination form (one rectangular strided DMA per
-        # family) at ~3.4 ms/step of pure output cost — ~90% of the step,
-        # invariant under tile size, i.e. per-ROW stride setup, not
-        # bandwidth or issue count; the bare dot+input-DMA pattern runs
-        # 0.31 ms.  The caller restores stream order with one XLA
-        # moveaxis (HBM-bandwidth copy).  In-kernel interleaves still
-        # lose: row-strided sublane stores +22%, lane-offset block stores
-        # +65% (VREG lane rotation).
+    def out_copy(s, j, comp):
+        # obuf holds the tile's output rows ALREADY phase-interleaved
+        # (row t·L + f = family f's t-th group row — the final stream
+        # order), so this is ONE fully contiguous DMA per component per
+        # tile.  Round-3 probe history: a [rows, L, 128] strided-destination
+        # DMA cost ~3.4 ms/step of per-row stride setup; family-major
+        # contiguous planes fixed that but needed an XLA moveaxis epilogue
+        # (+0.37 ms) and tempted callers into the [n/r, m] 16-lane-minor
+        # reshape (~8× padded relayout, +3.3 ms — the round-2 "3-4× off
+        # roof" gap in its entirety).  The strided SUBLANE store into obuf
+        # (see below) costs ~0.4 ms and eliminates both.
         dst = (out_re, out_im)[comp]
         return pltpu.make_async_copy(
-            obuf.at[s, comp, f],
-            dst.at[f, pl.ds(j * tile_rows, tile_rows), :],
-            osems.at[s, comp, f])
+            obuf.at[s, comp],
+            dst.at[pl.ds(j * tile_rows * ell, tile_rows * ell), :],
+            osems.at[s, comp])
 
     @pl.when(i == 0)
     def _():
@@ -872,8 +872,7 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
         @pl.when(i > 1)            # reclaim this slot's output buffers
         def _():
             for comp in range(2):
-                for f in range(ell):
-                    out_copy(slot, i - 2, comp, f).wait()
+                out_copy(slot, i - 2, comp).wait()
 
     md = jnp.dtype(mxu_dtype)
     narrow = md != jnp.dtype(jnp.float32)
@@ -911,25 +910,25 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
                                        preferred_element_type=jnp.float32)
                           + jnp.dot(si, erv[q][f],
                                     preferred_element_type=jnp.float32))
-                obuf[s, 0, f] = zr
-                obuf[s, 1, f] = zi
+                # strided sublane store: family f lands on rows f, f+L,
+                # f+2L, … of the slot's [tile_rows·L, 128] staging buffer —
+                # the tile's rows leave VMEM already in final stream order
+                obuf[s, 0, f::ell, :] = zr
+                obuf[s, 1, f::ell, :] = zi
 
     for comp in range(2):
-        for f in range(ell):
-            out_copy(slot, i, comp, f).start()
+        out_copy(slot, i, comp).start()
 
     @pl.when(i == num - 1)             # drain the final tile's output DMAs
     def _():
         for comp in range(2):
-            for f in range(ell):
-                out_copy(slot, i, comp, f).wait()
+            out_copy(slot, i, comp).wait()
 
     if multi:
         @pl.when((i == num - 1) & (i > 0))
         def _():
             for comp in range(2):
-                for f in range(ell):
-                    out_copy(1 - slot, i - 1, comp, f).wait()
+                out_copy(1 - slot, i - 1, comp).wait()
 
 
 def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
@@ -1001,18 +1000,18 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),  # manual interleaved DMA
+            pl.BlockSpec(memory_space=pltpu.ANY),  # manual contiguous DMA
             pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((ell, rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((ell, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows * ell, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows * ell, LANES), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, tile_rows + halo, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((2, 2, ell, tile_rows, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, ell)),
+            pltpu.VMEM((2, 2, tile_rows * ell, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * rows * LANES * LANES * ell * nq,
@@ -1029,17 +1028,21 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
             zr, zi = os_call(*os_args)
     else:
         zr, zi = os_call(*os_args)
-    # kernel emits FAMILY-MAJOR [L, rows, 128] planes (contiguous out
-    # DMAs — see out_copy); one XLA transpose restores the interleaved
-    # [rows, L, 128] stream order at HBM-copy cost
-    zr = jnp.moveaxis(zr, 0, 1)
-    zi = jnp.moveaxis(zi, 0, 1)
+    # the kernel emits [rows·L, 128] rows already in final interleaved
+    # stream order (in-kernel strided sublane stores + one contiguous DMA
+    # per component per tile) — no XLA epilogue at all.  Round-3 slope
+    # decomposition at 16ch/R=8/2^23: kernel-only 0.56 ms; the previous
+    # family-major layout's moveaxis cost +0.37 ms and its [n/r, m]
+    # reshape +3.3 ms (16-lane-minor ~8× padded relayout) — the entire
+    # "3-4× off roof" gap.  In-kernel interleave: 0.97 ms total, 8,687
+    # Msps, bit-identical output.
     if flat_output:
-        # [rows, L, 128] — flat-identical to the [n/r, m] group stream but
-        # 128-lane-minor.  Standalone materialization of the [n/r, m] view
-        # pads the 16-lane minor dim ~8× (measured +70% step time); fused
+        # [rows, L, 128] — a free major-dim split, flat-identical to the
+        # [n/r, m] group stream but 128-lane-minor.  Standalone
+        # materialization of the [n/r, m] view pads the 16-lane minor dim
+        # ~8× (measured ~3.3 ms at the 2^23 flagship shape); fused
         # consumers (slices/reductions under the same jit) avoid that.
-        return zr, zi
+        return (zr.reshape(rows, ell, LANES), zi.reshape(rows, ell, LANES))
     return zr.reshape(n // r, m), zi.reshape(n // r, m)
 
 

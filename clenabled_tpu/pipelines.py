@@ -172,7 +172,9 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
     pair count — trimming 10 XE + 3 FD pairs to 2 + 1 measures ~18% off
     the 4-antenna step (BENCH_TPU.md round-3 probes) — so deployments that
     only need a subset of baselines should pass it here rather than
-    discarding outputs."""
+    discarding outputs.  With custom pairs the output shapes follow the
+    pair lists: fd is [len(fd_pairs), M] and the X-Engine planes are
+    [F, len(xe_pairs), 1], rows ordered exactly as the given tuples."""
     from clenabled_tpu.dsp import pallas_kernels
 
     a = cfg.num_antennas
@@ -203,8 +205,11 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
             mxu_dtype=mxu_dtype, branch_mxu=branch_mxu,
             fd_pairs=fd_pairs, xe_pairs=xe_pairs, precision=precision,
             interpret=interpret)
-        fd = jnp.roll(fd_sum / nout, m // 2, axis=-1)    # [A-1, M]
-        xre = gram[:, :m].T[:, :, None]                  # [F, nb, 1]
+        # fd: [len(fd_pairs), M] (default fd_pairs → [A-1, M]); xre/xim:
+        # [F, len(xe_pairs), 1] (default xe_pairs → the nb = A(A+1)/2
+        # triangular baselines) — row order follows the pair tuples
+        fd = jnp.roll(fd_sum / nout, m // 2, axis=-1)
+        xre = gram[:, :m].T[:, :, None]
         xim = gram[:, m:].T[:, :, None]
         new_tr = xr[:, n - big_h:]
         new_ti = xi[:, n - big_h:]

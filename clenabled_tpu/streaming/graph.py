@@ -91,14 +91,25 @@ class Flowgraph:
         return order
 
     def compile(self, frame_size: int | None = 8192,
-                precision: str | None = None) -> "Runner":
+                precision: str | None = None,
+                steps_per_dispatch: int = 1) -> "Runner":
         """Build the Runner.  precision: matmul precision for the whole
         jitted step ("float32" = exact f32 sums on TPU; None = backend
         default, a single bf16-operand MXU pass for f32 matmuls — see
-        clenabled_tpu.exact_f32 and BENCH_TPU.md's round-3 audit)."""
+        clenabled_tpu.exact_f32 and BENCH_TPU.md's round-3 audit).
+
+        steps_per_dispatch: run K frames per device dispatch via a
+        device-side lax.scan over the step closure.  At the reference's
+        default frame sizes (8192-sample GR buffers) a per-frame host
+        dispatch costs more than the device compute — K amortizes it
+        without changing per-frame semantics (states thread through the
+        scan exactly as through K separate step() calls; outputs and
+        messages gain a leading K axis).  Runner.run() accepts per-frame
+        feed iterators regardless and batches them host-side."""
         order, step, frames, resolved = self._build(frame_size)
         return Runner(self, order, step, frames, resolved,
-                      precision=precision)
+                      precision=precision,
+                      steps_per_dispatch=steps_per_dispatch)
 
     def _resolve_frame_size(self, order, in_edges, ext_ports,
                             frame_size: int | None) -> int:
@@ -277,11 +288,17 @@ class Runner:
 
     def __init__(self, graph: Flowgraph, order: Sequence[Block],
                  step_fn: Callable, frames: dict, frame_size: int,
-                 precision: str | None = None):
+                 precision: str | None = None, steps_per_dispatch: int = 1):
+        if steps_per_dispatch < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
         self._graph = graph
         self._order = list(order)
         self._precision = precision
-        self._step = jax.jit(step_fn, donate_argnums=_donate_state())
+        self.steps_per_dispatch = steps_per_dispatch
+        self._step = jax.jit(self._wrap(step_fn),
+                             donate_argnums=_donate_state())
+        self._step1 = None  # lazily-built single-frame step for remainders
+        self._step1_fn = step_fn
         self.frames = frames
         self.frame_size = frame_size
         self.states = tuple(b.init_state() for b in self._order)
@@ -290,18 +307,44 @@ class Runner:
         # loops (SURVEY §5 tracing) become per-runner counters
         self.stats = {"steps": 0, "wall_s": 0.0, "samples": 0}
 
+    def _wrap(self, step_fn: Callable) -> Callable:
+        """Device-side multi-frame dispatch: lax.scan the single-frame step
+        over K stacked feeds.  The per-frame state threading is identical
+        to K separate step() calls (the scan carry IS the state pytree);
+        tapped outputs and messages come back stacked on a leading K axis.
+        This is the TPU answer to the reference's async worker thread
+        (lib/clXCorrelate_impl.cc:1641-1698): instead of hiding per-call
+        latency behind a host thread, K frames ride one dispatch."""
+        k = self.steps_per_dispatch
+        if k == 1:
+            return step_fn
+
+        def multi_step(states, feeds):
+            def body(st, feed):
+                st, tapped, msgs = step_fn(st, feed)
+                return st, (tapped, msgs)
+
+            states, (tapped, messages) = jax.lax.scan(
+                body, states, feeds, length=k)
+            return states, tapped, messages
+
+        return multi_step
+
     def on_message(self, key: str, handler: Callable) -> None:
         """Register a host callback for messages named '<block>.<port>'."""
         self._msg_handlers.setdefault(key, []).append(handler)
 
     def step(self, *feeds) -> dict[str, jax.Array]:
-        """Run one frame.  ``feeds`` are host arrays for the declared
-        external inputs.  Returns tapped outputs (device arrays — convert
-        with np.asarray when you need them on host)."""
+        """Run one dispatch.  ``feeds`` are host arrays for the declared
+        external inputs — per-frame [frame_size] when steps_per_dispatch
+        is 1, stacked [K, frame_size] otherwise.  Returns tapped outputs
+        (device arrays, leading K axis when K > 1 — convert with
+        np.asarray when you need them on host)."""
         if len(feeds) != len(self._graph._external):
             raise ValueError(
                 f"expected {len(self._graph._external)} feeds, got {len(feeds)}"
             )
+        k = self.steps_per_dispatch
         for i, f in enumerate(feeds):
             arr = f.re if hasattr(f, "re") and hasattr(f, "im") else f
             if np.shape(arr)[-1] != self.frame_size:
@@ -309,6 +352,10 @@ class Runner:
                     f"feed {i} has {np.shape(arr)[-1]} samples, expected "
                     f"frame_size={self.frame_size}"
                 )
+            if k > 1 and np.shape(arr)[0] != k:
+                raise ValueError(
+                    f"feed {i}: steps_per_dispatch={k} needs stacked "
+                    f"[{k}, frame_size] feeds, got {np.shape(arr)}")
         import time as _time
 
         t0 = _time.perf_counter()
@@ -322,13 +369,26 @@ class Runner:
         else:
             states, tapped, messages = self._step(self.states, tuple(feeds))
         self.states = states
-        for key, val in messages.items():
-            for h in self._msg_handlers.get(key, ()):
-                h(val)
-        self.stats["steps"] += 1
+        self._dispatch_messages(messages, k)
+        self.stats["steps"] += k
         self.stats["wall_s"] += _time.perf_counter() - t0
-        self.stats["samples"] += self.frame_size
+        self.stats["samples"] += self.frame_size * k
         return tapped
+
+    def _dispatch_messages(self, messages: dict, k: int) -> None:
+        for key, val in messages.items():
+            handlers = self._msg_handlers.get(key)
+            if not handlers:
+                continue
+            if k == 1:
+                for h in handlers:
+                    h(val)
+            else:
+                # handlers keep per-frame semantics: one call per sub-step
+                for j in range(k):
+                    sub = jax.tree.map(lambda a, j=j: a[j], val)
+                    for h in handlers:
+                        h(sub)
 
     def throughput_msps(self) -> float:
         """Dispatch-side samples/s since creation (JAX is async, so this is
@@ -337,15 +397,59 @@ class Runner:
         return self.stats["samples"] / w / 1e6 if w else 0.0
 
     def run(self, feeds_iter, n_steps: int | None = None) -> list[dict]:
-        """Drive from an iterator of feed tuples; collects tapped outputs.
-        JAX's async dispatch overlaps host feed prep with device compute
-        (the role of the reference's double-buffered worker threads)."""
+        """Drive from an iterator of PER-FRAME feed tuples; collects tapped
+        outputs.  With steps_per_dispatch=K the runner stacks K frames
+        host-side and dispatches them as one scanned device call (results
+        carry a leading K axis); a remainder of fewer than K frames at the
+        end of the iterator runs through a separate single-frame step, so
+        every frame is processed.  JAX's async dispatch overlaps host feed
+        prep with device compute (the role of the reference's
+        double-buffered worker threads)."""
+        k = self.steps_per_dispatch
         results = []
+        group: list[tuple] = []
+
+        def flush_group():
+            feeds = tuple(
+                jax.tree.map(lambda *xs: jnp.stack(xs), *(g[i] for g in group))
+                for i in range(len(group[0])))
+            group.clear()
+            results.append(self.step(*feeds))
+
         for i, feeds in enumerate(feeds_iter):
             if n_steps is not None and i >= n_steps:
                 break
-            results.append(self.step(*feeds))
+            if k == 1:
+                results.append(self.step(*feeds))
+                continue
+            group.append(tuple(feeds))
+            if len(group) == k:
+                flush_group()
+        for feeds in group:          # remainder < K: single-frame fallback
+            results.append(self._step_single(*feeds))
         return results
+
+    def _step_single(self, *feeds) -> dict:
+        """One frame through a dedicated single-frame jit (used for run()'s
+        sub-K remainder; state threading is shared with the scanned step)."""
+        if self._step1 is None:
+            self._step1 = jax.jit(self._step1_fn,
+                                  donate_argnums=_donate_state())
+        import time as _time
+
+        t0 = _time.perf_counter()
+        if self._precision is not None:
+            with jax.default_matmul_precision(self._precision):
+                states, tapped, messages = self._step1(self.states,
+                                                       tuple(feeds))
+        else:
+            states, tapped, messages = self._step1(self.states, tuple(feeds))
+        self.states = states
+        self._dispatch_messages(messages, 1)
+        self.stats["steps"] += 1
+        self.stats["wall_s"] += _time.perf_counter() - t0
+        self.stats["samples"] += self.frame_size
+        return tapped
 
     def reset(self) -> None:
         self.states = tuple(b.init_state() for b in self._order)
@@ -365,7 +469,9 @@ class Runner:
         if [id(b) for b in order] != [id(b) for b in self._order]:
             raise ValueError("refresh() cannot change the block set; "
                              "build a new flowgraph instead")
-        self._step = jax.jit(step, donate_argnums=_donate_state())
+        self._step = jax.jit(self._wrap(step), donate_argnums=_donate_state())
+        self._step1 = None
+        self._step1_fn = step
         self.frames = frames
         self.states = tuple(
             b.migrate_state(st) for b, st in zip(self._order, self.states))

