@@ -12,8 +12,10 @@
 #ifndef GOLDEN_FFT_SHIM_H
 #define GOLDEN_FFT_SHIM_H
 
-#include <complex>
-#include <cmath>
+#include <algorithm>  // the reference's fir_filter.cc uses std::reverse and
+#include <complex>    // fft_filter.cc memcpy without the includes (FFTW /
+#include <cmath>      // VOLK headers pulled them in transitively)
+#include <cstring>
 #include <vector>
 
 #ifndef CLENABLED_API

@@ -41,13 +41,6 @@ static inline void volk_32f_x2_dot_prod_32f_a(
 // float dot product, result narrowed with a C cast (VOLK generic:
 // "*result = (int16_t)dotProduct" — truncation toward zero)
 static inline void volk_32f_x2_dot_prod_16i_a(
-        int16_t* result, const float* input, const float* taps,
-        unsigned int n) {
-    float acc = 0.0f;
-    for (unsigned int i = 0; i < n; i++) acc += input[i] * taps[i];
-    *result = (int16_t)acc;
-}
-static inline void volk_32f_x2_dot_prod_16i_a(
         short* result, const float* input, const float* taps,
         unsigned int n) {
     float acc = 0.0f;

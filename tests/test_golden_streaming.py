@@ -1,0 +1,141 @@
+"""Golden parity vs the REFERENCE'S OWN C++ for streaming/numeric
+semantics (VERDICT r2 item 4): overlap-add tail carry across filter()
+calls, the Costas recurrence trajectory at both orders, quad-demod vs
+fast_atan2f (quantifying the LUT-vs-arctan2 delta), and the short-dtype
+FIR rounding.  Vectors in tests/golden/streaming_golden.json are produced
+by compiling the reference's lib/{fft_filter,fir_filter,fast_atan2f}.cc
+(tests/golden_gen/gen2.cc — regeneration commands in the README there),
+replacing the Python-transcribed oracles those paths previously rested
+on."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDEN = json.loads(
+    (pathlib.Path(__file__).parent / "golden" /
+     "streaming_golden.json").read_text())
+
+
+def _c(key):
+    a = np.asarray(GOLDEN[key], np.float32)
+    return (a[:, 0] + 1j * a[:, 1]).astype(np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# fft_filter_ccf streaming: multi-call tail carry (+ dec_ctr under decim)
+# Reference loop: /root/reference/lib/fft_filter.cc:133-175
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("tag,decim", [("d1", 1), ("d2", 2)])
+def test_fft_filter_streaming_matches_reference_cpp(tag, decim):
+    from clenabled_tpu.dsp import firdes, fft_filter
+
+    taps = firdes.low_pass(1.0, 1e6, 100e3, 50e3)
+    assert len(taps) == GOLDEN["fftfilt_lp_ntaps"]
+    init, apply, plan = fft_filter.make_fft_filter(taps, decimation=decim)
+    assert plan.nsamples == GOLDEN[f"fftfilt_{tag}_nsamples"]
+    assert plan.fftsize == GOLDEN[f"fftfilt_{tag}_fftsize"]
+    state = init()
+    for call in range(3):
+        x = _c(f"fftfilt_{tag}_call{call}_in")
+        want = _c(f"fftfilt_{tag}_call{call}_out")
+        state, got = apply(state, x)
+        got = np.asarray(got)
+        assert got.shape == want.shape
+        scale = max(1e-9, np.abs(want).max())
+        np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0,
+                                   err_msg=f"call {call}")
+
+
+# ---------------------------------------------------------------------------
+# Costas loop recurrence (f32 non-FMA kernel variant,
+# /root/reference/lib/clCostasLoop_impl.cc:236-312)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("order", [2, 4])
+def test_costas_trajectory_matches_reference_recurrence(order):
+    from clenabled_tpu.dsp import demod, planar
+
+    tag = f"o{order}"
+    x = _c(f"costas_{tag}_in")
+    want = _c(f"costas_{tag}_out")
+    final = np.asarray(GOLDEN[f"costas_{tag}_final"], np.float32)
+
+    run = demod.make_costas_loop_planar(0.0628318, order)
+    st, out = run(demod.costas_init(),
+                  planar.PC(np.real(x).astype(np.float32),
+                            np.imag(x).astype(np.float32)))
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    # early trajectory: before fp drift can accumulate, samples must agree
+    # tightly (catches any transcription slip in the recurrence itself)
+    np.testing.assert_allclose(got[:64], want[:64], atol=5e-4)
+    # locked tail: the loop is contracting once locked, so independent fp
+    # histories re-converge — the steady-state tracking must agree
+    np.testing.assert_allclose(got[-128:], want[-128:], atol=5e-3)
+    # final loop state: frequency estimate within loop-noise of the C++ run
+    np.testing.assert_allclose(float(st.freq), final[1], atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Quadrature demod: fast_atan2f LUT (reference CPU path,
+# /root/reference/lib/fast_atan2f.cc) vs our jnp.arctan2
+# ---------------------------------------------------------------------------
+
+def test_quadrature_demod_vs_libm_and_fast_atan2f():
+    from clenabled_tpu.dsp import demod
+
+    x = _c("qdemod_in")
+    want_libm = np.asarray(GOLDEN["qdemod_libm_atan2"], np.float32)
+    want_fast = np.asarray(GOLDEN["qdemod_fast_atan2f"], np.float32)
+    got, _ = demod.quadrature_demod(x[1:], 2.5, last_sample=x[:1])
+    got = np.asarray(got)
+    assert got.shape == want_libm.shape
+    # against libm atan2 (the reference's GPU-kernel math): tight
+    np.testing.assert_allclose(got, want_libm, atol=5e-5)
+    # against fast_atan2f (the reference's CPU path): the LUT's
+    # interpolation error, MEASURED here rather than assumed.  The bound
+    # asserts our deliberate design choice (VPU arctan2 instead of a LUT,
+    # SURVEY §2.1) stays within the reference's own CPU-vs-GPU spread.
+    delta = np.abs(got - want_fast).max()
+    assert delta < 2.5 * 1e-3, f"LUT delta {delta} exceeds documented bound"
+
+
+# ---------------------------------------------------------------------------
+# Short-dtype FIR rounding (scc widening, fsf (int16) truncation cast)
+# Reference: /root/reference/lib/fir_filter.cc + VOLK generic kernels
+# ---------------------------------------------------------------------------
+
+def test_fir_scc_matches_reference_cpp():
+    from clenabled_tpu.dsp import fir_filter, firdes
+
+    ctaps = firdes.complex_band_pass(1.0, 1e6, -100e3, 200e3, 50e3)
+    x = np.asarray(GOLDEN["fir_scc_in"], np.int16)
+    want = _c("fir_scc_out")
+    got = np.asarray(fir_filter.fir_filter_scc(x, ctaps))
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=3e-5 * scale, rtol=0)
+
+
+def test_fir_fsf_truncation_matches_reference_cpp():
+    from clenabled_tpu.dsp import fir_filter, firdes
+
+    taps = firdes.low_pass(1.0, 1e6, 100e3, 50e3)
+    x = np.asarray(GOLDEN["fir_fsf_in"], np.float32)
+    want = np.asarray(GOLDEN["fir_fsf_out"], np.int16)
+    wantdec = np.asarray(GOLDEN["fir_fsf_outdec2"], np.int16)
+    n = want.shape[0]
+    got = np.asarray(fir_filter.fir_filter_fsf(x[: n + len(taps) - 1], taps))
+    # float dot in a different summation order can land on the other side
+    # of an integer boundary before the (int16) truncation — allow ≤1 LSB
+    # on isolated samples, exact everywhere else
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.05
+    gotdec = np.asarray(fir_filter.fir_filter_fsf(x, taps, decimation=2))[:n]
+    diffd = np.abs(gotdec.astype(np.int32) - wantdec.astype(np.int32))
+    assert diffd.max() <= 1
+    assert (diffd != 0).mean() < 0.05
