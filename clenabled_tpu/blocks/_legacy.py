@@ -23,11 +23,18 @@ _LEGACY_KWARGS = (
 )
 
 
-def strip_legacy_kwargs(kwargs: dict) -> dict:
-    """Accept-and-ignore the reference's per-block device tuple; raise on
-    anything else unexpected."""
+def strip_legacy_kwargs(kwargs: dict, block=None) -> dict:
+    """Accept the reference's per-block device tuple (ignored — one shared
+    mesh replaces per-block OpenCL contexts) and raise on anything else
+    unexpected.  ``setDebug`` is NOT ignored: when a block is given it
+    enables the per-block debug surface (Block.set_debug — the reference's
+    setDebug param, lib/GRCLBase.cpp:15)."""
+    popped = {}
     for k in _LEGACY_KWARGS:
-        kwargs.pop(k, None)
+        if k in kwargs:
+            popped[k] = kwargs.pop(k)
     if kwargs:
         raise TypeError(f"unexpected keyword arguments: {sorted(kwargs)}")
-    return kwargs
+    if block is not None and popped.get("setDebug"):
+        block.debug = True
+    return popped

@@ -26,7 +26,7 @@ class SignalSource(Block):
                  amplitude: float, frame_size: int = 8192,
                  dtype=jnp.complex64, planar: bool = False, name: str = "",
                  **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.source_frame = frame_size
         self._params = dict(samp_rate=samp_rate, waveform=waveform,
@@ -69,7 +69,7 @@ class Fft(Block):
     def __init__(self, fft_size: int, direction: int = dsp_fft.FORWARD,
                  window=None, shift: bool = False, num_streams: int = 1,
                  name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         if window is not None and len(window) != fft_size:
             raise ValueError("window length must equal fft_size")
         self.name = name
@@ -101,7 +101,7 @@ class MathOp(Block):
     clMathOpTypes code."""
 
     def __init__(self, op: int, name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.op = op
         self.n_inputs = 1 if op in (
@@ -140,7 +140,7 @@ class MultiplyConst(Block):
     runtime-updatable constant."""
 
     def __init__(self, k: float, name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self._k = k
 
@@ -168,7 +168,7 @@ class _UnaryFn(Block):
     _fn = None
 
     def __init__(self, name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
 
     def apply(self, state, inputs):
@@ -176,10 +176,12 @@ class _UnaryFn(Block):
 
 
 class ComplexToMag(_UnaryFn):
+    out_kinds = ("f",)
     _fn = staticmethod(ew.complex_to_mag)
 
 
 class ComplexToArg(_UnaryFn):
+    out_kinds = ("f",)
     _fn = staticmethod(ew.complex_to_arg)
 
 
@@ -187,9 +189,10 @@ class ComplexToMagPhase(Block):
     """c → (mag, phase), two output streams."""
 
     n_outputs = 2
+    out_kinds = ("f", "f")
 
     def __init__(self, name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
 
     def apply(self, state, inputs):
@@ -201,9 +204,10 @@ class MagPhaseToComplex(Block):
     """(mag, phase) → c (planar=True emits a planar.PC stream)."""
 
     n_inputs = 2
+    in_kinds = ("f", "f")
 
     def __init__(self, planar: bool = False, name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.planar = planar
 
@@ -215,9 +219,12 @@ class MagPhaseToComplex(Block):
 class Log(Block):
     """clLog (lib/clLog_impl.cc): n·log10(a)+k via log2."""
 
+    in_kinds = ("f",)
+    out_kinds = ("f",)
+
     def __init__(self, nValue: float = 1.0, kValue: float = 0.0,
                  name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.n = nValue
         self.k = kValue
@@ -230,10 +237,12 @@ class SNRHelper(Block):
     """clSNR (lib/clSNR_impl.cc): |n·log10(a/b)+k|."""
 
     n_inputs = 2
+    in_kinds = ("f", "f")
+    out_kinds = ("f",)
 
     def __init__(self, nValue: float = 1.0, kValue: float = 0.0,
                  name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.n = nValue
         self.k = kValue
@@ -262,7 +271,7 @@ class Kernel1To1(Block):
     def __init__(self, fn: Callable | None = None, *,
                  filename: str | None = None, kernelFnName: str | None = None,
                  name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         if fn is None:
             if filename is None or kernelFnName is None:

@@ -33,7 +33,7 @@ class XCorrelate(Block):
                  asynchronous: bool = False, accumulate_frames: int = 1,
                  name: str = "xcorr", **legacy):
         legacy.pop("async", None)
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         del data_type, data_size, asynchronous  # dtype comes from the stream
         if num_inputs < 2:
             raise ValueError("XCorrelate needs >= 2 inputs")
@@ -114,13 +114,14 @@ class XCorrelateFFTVCF(Block):
     def __init__(self, fft_size: int, num_inputs: int, input_type: int = 1,
                  accumulate_frames: int = 1, name: str = "fd_xcorr",
                  **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         if num_inputs < 2:
             raise ValueError("needs >= 2 inputs")
         self.name = name
         self.fft_size = fft_size
         self.n_inputs = num_inputs
         self.n_outputs = num_inputs - 1
+        self.out_kinds = ("f",) * self.n_outputs
         self.perform_fft_first = input_type == 2
         # the per-vector math already batches every vector in the frame in
         # ONE dispatch; accumulate_frames raises the frame quantum so the
@@ -184,7 +185,7 @@ class XEngine(Block):
                   "starting_chan_center_freq", "channel_width",
                   "disable_output"):
             legacy.pop(k, None)
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.data_type = data_type
         self.npol = polarization

@@ -14,9 +14,11 @@ class QuadratureDemod(Block):
     discriminator, gain baked, 1-sample carried history.
     planar=True streams planar.PC frames (the complex-free TPU path)."""
 
+    out_kinds = ("f",)
+
     def __init__(self, gain: float, planar: bool = False, name: str = "",
                  **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.gain = gain
         self.planar = planar
@@ -63,7 +65,7 @@ class CostasLoop(Block):
                  chunked: bool = False, chunk: int = 8192,
                  warmup: int = 1024, num_streams: int = 1,
                  name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.loop_bw = loop_bw
         self.order = order

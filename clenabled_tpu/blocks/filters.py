@@ -46,7 +46,7 @@ class Filter(Block):
 
     def __init__(self, decimation: int, taps, use_time: bool = False,
                  planar: bool = False, name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.decimation = decimation
         self.rate = Fraction(1, decimation)
@@ -137,7 +137,7 @@ class ComplexFilter(Filter):
 
     def __init__(self, decimation: int, taps, use_time: bool = True,
                  planar: bool = False, name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.decimation = decimation
         self.rate = Fraction(1, decimation)
@@ -240,7 +240,7 @@ class FirFilterSCC(Block):
     the DTYPE_SHORT stream path through the block layer."""
 
     def __init__(self, decimation: int, taps, name: str = "scc", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.decimation = decimation
         self.rate = Fraction(1, decimation)
@@ -266,7 +266,7 @@ class FirFilterFSF(Block):
     C truncation-toward-zero narrowing."""
 
     def __init__(self, decimation: int, taps, name: str = "fsf", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         self.name = name
         self.decimation = decimation
         self.rate = Fraction(1, decimation)
@@ -297,7 +297,7 @@ class PolyphaseChannelizer(Block):
     def __init__(self, taps, buf_items: int, num_channels: int,
                  ninputs_per_iter: int, ch_map, planar: bool = False,
                  fused: bool = False, name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         if buf_items % num_channels:
             raise ValueError("buf_items must be a multiple of num_channels")
         if buf_items % ninputs_per_iter:
@@ -349,7 +349,7 @@ class InterpFirFilter(Block):
 
     def __init__(self, interp: int, taps, planar: bool = False,
                  name: str = "", **legacy):
-        strip_legacy_kwargs(legacy)
+        strip_legacy_kwargs(legacy, self)
         if interp < 1:
             raise ValueError("interp must be >= 1")
         self.name = name

@@ -47,20 +47,46 @@ def _to_numpy(y):
     return np.asarray(y)
 
 
-def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None):
+_KIND_DTYPE = {  # the reference's DTYPE_* codes, GRCLBase.h:57-62
+    "c": np.complex64, "f": np.float32, "i": np.int32,
+    "s": np.int16, "b": np.int8,
+}
+
+
+def _sig_from_kinds(kinds, n_ports):
+    if kinds is None:
+        return [np.complex64] * n_ports
+    if len(kinds) != n_ports:
+        raise ValueError(f"kinds {kinds} do not cover {n_ports} ports")
+    return [_KIND_DTYPE[k] for k in kinds]
+
+
+def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
+         max_frames_pow2: int = 17):
     """Adapt a clenabled_tpu Block into a ``gr.basic_block``.
 
     Args:
       block: any Block instance (blocks.Fft(...), blocks.XEngine(...), ...).
-      in_sig / out_sig: numpy dtypes per port; default complex64 on every
-        stream port (float outputs — mag/arg/demod — are produced as the
-        block computes them; pass explicit float32 signatures for those).
+      in_sig / out_sig: numpy dtypes per port; default derived from the
+        block's declared ``in_kinds``/``out_kinds`` (mag/arg/demod blocks
+        declare float32 outputs; undeclared ports default to complex64).
       msg_ports: names to register as GR message outputs.  Default: the
         block's ``msg_ports`` attribute if present, else none — unknown
         message keys are dropped (GR requires ports registered up front).
       name: GR block name (default: the block's class name).
+      max_frames_pow2: cap on the per-call frame bucket (2**k samples).
 
     Returns a gr.basic_block instance ready for ``tb.connect(...)``.
+
+    Retrace bounding: GR hands general_work whatever buffer sizes its
+    scheduler produces, and every distinct size would re-trace the
+    block's jitted internals (an unbounded-recompile hazard).  The
+    adapter therefore processes quantum·2^k frame BUCKETS — the largest
+    power-of-two multiple of the quantum that fits the available input
+    and output space — consuming only that much (trimming is
+    contract-legal for a general block; GR re-offers the remainder next
+    call).  The jit cache is then bounded by log2(max buffer size)
+    entries per block.
     """
     from gnuradio import gr  # optional dependency, imported lazily
     import pmt
@@ -71,9 +97,9 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None):
     n_in = block.n_inputs
     n_out = block.n_outputs
     if in_sig is None:
-        in_sig = [np.complex64] * n_in
+        in_sig = _sig_from_kinds(getattr(block, "in_kinds", None), n_in)
     if out_sig is None:
-        out_sig = [np.complex64] * n_out
+        out_sig = _sig_from_kinds(getattr(block, "out_kinds", None), n_out)
     if msg_ports is None:
         msg_ports = tuple(getattr(block, "msg_ports", ()))
     planar_mode = bool(getattr(block, "planar", False))
@@ -126,6 +152,11 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None):
                     # largest quantum multiple whose output fits
                     while frames > 0 and int(frames * rate) > out_cap:
                         frames -= quantum
+                # bucket to quantum·2^k (bounded retraces — see docstring)
+                if frames >= quantum:
+                    k = (frames // quantum).bit_length() - 1
+                    cap = max(0, max_frames_pow2 - (quantum.bit_length() - 1))
+                    frames = quantum * (1 << min(k, cap))
                 if frames <= 0:
                     return 0
                 ins = [to_device(x[:frames], s)

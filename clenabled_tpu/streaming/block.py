@@ -24,6 +24,12 @@ class Block:
       quantum: input frame length must be a multiple of this (the role of
         set_output_multiple / OFA chunk sizing).
       source_frame: for sources, samples produced per step.
+      in_kinds / out_kinds: per-port stream dtype kinds ("c" complex64,
+        "f" float32, "i" int32, "s" int16, "b" int8 — the reference's
+        DTYPE_* codes, include/clenabled/GRCLBase.h:57-62).  None means
+        complex64 on every port.  Used by gr_compat.wrap to build correct
+        GR io_signatures without the caller passing them (mag/arg/demod
+        outputs are float32, not complex64).
     """
 
     n_inputs: int = 1
@@ -32,6 +38,20 @@ class Block:
     quantum: int = 1
     source_frame: int | None = None
     name: str = ""
+    in_kinds: tuple[str, ...] | None = None
+    out_kinds: tuple[str, ...] | None = None
+    debug: bool = False
+
+    def set_debug(self, debug: bool = True) -> "Block":
+        """Per-block debug surface (the reference's ``setDebug`` +
+        CLPRINT_NITEMS, lib/GRCLBase.cpp:15, lib/clFFT_impl.cc:647-648):
+        the Runner logs this block's lowered HLO once at first dispatch
+        (the analogue of the reference printing its generated OpenCL
+        kernel source) and its per-dispatch item counts thereafter.
+        Chainable: ``g.connect(Fft(2048).set_debug(), mag)``.  Also
+        enabled by the legacy ``setDebug=True`` constructor kwarg."""
+        self.debug = debug
+        return self
 
     def init_state(self) -> Any:
         return ()

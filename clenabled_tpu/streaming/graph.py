@@ -260,6 +260,11 @@ class Flowgraph:
                     else:
                         e = in_edges[id(b)][p]
                         ins.append(values[(id(e.src), e.src_port)])
+                if b.debug:
+                    # trace-time capture for Runner.lowered_text /
+                    # the one-time HLO dump (reference: setDebug prints
+                    # the generated kernel source at build time)
+                    b._debug_avals = (_avals(states[i]), _avals(ins))
                 st, outs, msgs = b.apply(states[i], ins)
                 new_states[i] = st
                 for p, v in enumerate(outs):
@@ -270,6 +275,15 @@ class Flowgraph:
             return tuple(new_states), tapped, messages
 
         return order, step, frames, frame_size
+
+
+def _avals(tree):
+    """Shape/dtype skeleton of a pytree (works on tracers — used at trace
+    time to capture a debug block's exact input signature)."""
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype
+                                       if not hasattr(x, "dtype") else x.dtype),
+        tree)
 
 
 def _donate_state() -> tuple:
@@ -373,7 +387,47 @@ class Runner:
         self.stats["steps"] += k
         self.stats["wall_s"] += _time.perf_counter() - t0
         self.stats["samples"] += self.frame_size * k
+        self._debug_report(k)
         return tapped
+
+    # ---- per-block debug surface (the reference's setDebug +
+    # CLPRINT_NITEMS, lib/GRCLBase.cpp:15) -------------------------------
+
+    def _debug_report(self, k: int) -> None:
+        for b in self._order:
+            if not b.debug:
+                continue
+            label = b.name or type(b).__name__
+            if not getattr(b, "_debug_dumped", False):
+                b._debug_dumped = True
+                try:
+                    txt = self.lowered_text(b)
+                    print(f"[clenabled_tpu debug] {label}: lowered HLO "
+                          f"({len(txt.splitlines())} lines)\n{txt}")
+                except Exception as e:  # lowering is best-effort
+                    print(f"[clenabled_tpu debug] {label}: lowering "
+                          f"unavailable ({e})")
+            items = self.frames.get((id(b), 0))
+            if items is None and b.n_inputs:   # sink: report consumed items
+                items = self.frame_size
+            print(f"[clenabled_tpu debug] {label}: {items} items/step × "
+                  f"{k} steps (total steps {self.stats['steps']})")
+
+    def lowered_text(self, block) -> str:
+        """Lowered StableHLO of one block's apply at its in-graph input
+        shapes (captured at trace time; requires the block to be marked
+        ``set_debug()`` and at least one trace to have happened).  The TPU
+        analogue of the reference printing its generated OpenCL kernel
+        source in debug mode."""
+        avals = getattr(block, "_debug_avals", None)
+        if avals is None:
+            raise ValueError(
+                "no captured input signature — call set_debug() on the "
+                "block before compile/step so the trace records it")
+        st_aval, ins_aval = avals
+        return jax.jit(
+            lambda st, ins: block.apply(st, ins)
+        ).lower(st_aval, ins_aval).as_text()
 
     def _dispatch_messages(self, messages: dict, k: int) -> None:
         for key, val in messages.items():

@@ -213,3 +213,53 @@ def test_wrap_interpolating_block(fake_gr):
     assert g.general_work([x], [out]) == 16 * interp
     np.testing.assert_allclose(out[::interp], x, rtol=1e-6)
     assert not np.any(out.reshape(-1, interp)[:, 1:])
+
+
+def test_wrap_float_output_signature_defaults(fake_gr):
+    """Round-3 hardening: out_sig derives from the block's out_kinds —
+    mag/arg/demod wraps must declare float32 outputs, not complex64, or a
+    real GR scheduler silently misinterprets the stream bytes."""
+    from clenabled_tpu.blocks import ComplexToMag, MagPhaseToComplex
+    from clenabled_tpu.blocks import QuadratureDemod, SNRHelper
+    from clenabled_tpu.gr_compat import wrap
+
+    w = wrap(ComplexToMag())
+    assert w._out_sig == [np.float32]
+    assert w._in_sig == [np.complex64]
+    w = wrap(QuadratureDemod(2.0))
+    assert w._out_sig == [np.float32]
+    w = wrap(MagPhaseToComplex())
+    assert w._in_sig == [np.float32, np.float32]
+    assert w._out_sig == [np.complex64]
+    w = wrap(SNRHelper())
+    assert w._in_sig == [np.float32, np.float32]
+    assert w._out_sig == [np.float32]
+    # explicit signatures still win
+    w = wrap(ComplexToMag(), out_sig=[np.float64])
+    assert w._out_sig == [np.float64]
+
+
+def test_wrap_buckets_frames_to_pow2_quanta(fake_gr):
+    """Round-3 hardening: GR offers arbitrary buffer sizes; the adapter
+    must process power-of-two frame buckets so the jit cache stays
+    bounded (log2 sizes, not one entry per distinct scheduler offer)."""
+    from clenabled_tpu.blocks import MultiplyConst
+    from clenabled_tpu.gr_compat import wrap
+
+    blk = wrap(MultiplyConst(2.0))
+    rng = np.random.default_rng(0)
+    seen_sizes = set()
+    remaining = rng.standard_normal(12000).astype(np.complex64)
+    # scheduler-style loop with awkward offer sizes
+    for offer in (3000, 1700, 999, 2048, 1213, 1024):
+        chunk = remaining[:offer]
+        out = np.empty(offer, np.complex64)
+        n = blk.general_work([chunk], [out])
+        assert n == 0 or (n & (n - 1)) == 0  # power-of-two bucket
+        seen_sizes.add(n)
+        np.testing.assert_allclose(out[:n], 2.0 * chunk[:n], rtol=1e-6)
+        consumed = blk.consumed[-1] if n else 0
+        assert consumed == n  # rate-1 block
+        remaining = remaining[consumed:]
+    # distinct traced sizes bounded by log2, not by #offers
+    assert len(seen_sizes - {0}) <= 4

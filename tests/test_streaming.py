@@ -330,3 +330,28 @@ def test_compile_precision_flag():
     r_exact.refresh()
     a2 = np.asarray(r_exact.step()[tap])
     assert a2.shape == a.shape
+
+
+def test_per_block_debug_surface(capsys):
+    """Round-3 operability parity with the reference's setDebug +
+    CLPRINT_NITEMS (lib/GRCLBase.cpp:15): a debug block dumps its lowered
+    HLO once and logs per-dispatch item counts; Runner.lowered_text
+    returns the block's StableHLO at its in-graph shapes."""
+    g = Flowgraph()
+    src = blocks.SignalSource(1e6, 1, 125e3, 1.0, 4096)
+    mag = blocks.ComplexToMag(setDebug=True)  # legacy kwarg spelled enabled
+    g.connect(src, mag)
+    g.tap(mag, name="m")
+    r = g.compile()
+    r.step()
+    out = capsys.readouterr().out
+    assert "lowered HLO" in out
+    assert "4096 items/step" in out
+    txt = r.lowered_text(mag)
+    assert "module" in txt
+    r.step()
+    out2 = capsys.readouterr().out
+    assert "lowered HLO" not in out2       # dumped only once
+    assert "items/step" in out2
+    # modern chainable spelling
+    assert blocks.ComplexToArg().set_debug().debug is True
