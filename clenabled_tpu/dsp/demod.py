@@ -136,7 +136,8 @@ def _costas_step_planar(order: int, alpha, beta, f_min, f_max):
 def make_costas_loop_chunked(loop_bw: float, order: int,
                              max_freq: float = 1.0, min_freq: float = -1.0,
                              chunk: int = 8192, warmup: int = 1024,
-                             unroll: int = 16):
+                             unroll: int = 16,
+                             exact_fallback_residual: float | None = None):
     """Speculative chunk-parallel Costas loop with an EXACTNESS certificate.
 
     A single per-sample feedback chain is latency-bound on any hardware
@@ -168,11 +169,31 @@ def make_costas_loop_chunked(loop_bw: float, order: int,
     within float dither of the sequential one; re-run the sequential form
     if bit-exactness is required.
 
+    ACQUISITION behavior (round-3 measurement, tests/test_costas_acquisition
+    + BENCH_TPU.md "Costas acquisition"): before lock the loop is NOT
+    contracting, so chunks warm-started from the frequency prediction can
+    diverge from the sequential trajectory — the certificate reports
+    exactly this (``residual`` jumps orders of magnitude above the locked
+    1e-7-class).  Cold starts typically certify from the second frame on;
+    a mid-stream phase/frequency step shows one high-residual frame and
+    re-certifies once re-locked.  Policy options, strictest first:
+
+    * ``exact_fallback_residual=r``: frames whose residual exceeds ``r``
+      are RE-RUN through the exact sequential recurrence inside the same
+      jitted call (lax.cond — the fallback executes only when triggered,
+      costing the sequential latency for that frame only).  Output is then
+      bit-identical to the sequential form whenever the certificate is
+      suspect: the speculative path is a pure accelerator.
+    * watch ``residual``/``exact`` in the diag dict (the CostasLoop
+      block's "lock" message port) and treat high-residual frames as
+      unlocked — the right semantics for burst acquisition, where the
+      pre-lock transient is garbage in ANY implementation.
+
     Returns run(state, frame: planar.PC) -> (state', out: planar.PC,
     diag dict with ``exact`` (bitwise certificate), ``residual`` (max seam
-    deviation after branch removal), ``branch_hops``).  State =
-    (CostasState at frame_start − warmup, tail planar.PC of the last
-    ``warmup`` samples).  Frame length must be a positive multiple of
+    deviation after branch removal), ``branch_hops``, ``fell_back``).
+    State = (CostasState at frame_start − warmup, tail planar.PC of the
+    last ``warmup`` samples).  Frame length must be a positive multiple of
     ``chunk``; warmup ≤ chunk.
     """
     from clenabled_tpu.dsp import planar
@@ -269,13 +290,39 @@ def make_costas_loop_chunked(loop_bw: float, order: int,
             (lag_phase > TWO_PI) | (lag_phase < -TWO_PI),
             (lag_phase / TWO_PI - jnp.trunc(lag_phase / TWO_PI)) * TWO_PI,
             lag_phase)
-        new_lag = CostasState(phase=lag_phase, freq=s_c[1][-1],
-                              error=s_c[2][-1])
+        o_r = o_r.reshape(n)
+        o_i = o_i.reshape(n)
+        lag_t = (lag_phase, s_c[1][-1], s_c[2][-1])
+        fell_back = jnp.bool_(False)
+        if exact_fallback_residual is not None:
+            # bit-exactness on demand: when the certificate is suspect the
+            # frame re-runs through the exact sequential recurrence (one
+            # lax.cond — the latency cost is paid only on triggering
+            # frames, e.g. during acquisition or after signal loss)
+            def _seq(_):
+                s_mid, (r1, i1) = jax.lax.scan(
+                    step, tuple(lag), (ext_r[: n], ext_i[: n]),
+                    unroll=unroll)
+                _, (r2, i2) = jax.lax.scan(
+                    step, s_mid, (ext_r[n:], ext_i[n:]), unroll=unroll)
+                return (jnp.concatenate([r1[w:], r2]),
+                        jnp.concatenate([i1[w:], i2]), s_mid)
+
+            def _spec(_):
+                return o_r, o_i, lag_t
+
+            trip = resid > jnp.float32(exact_fallback_residual)
+            o_r, o_i, lag_t = jax.lax.cond(trip, _seq, _spec, None)
+            exact = exact | trip
+            fell_back = trip
+        new_lag = CostasState(phase=lag_t[0], freq=lag_t[1],
+                              error=lag_t[2])
         new_tail = planar.PC(frame.re[n - w:], frame.im[n - w:])
-        out = planar.PC(o_r.reshape(n), o_i.reshape(n))
+        out = planar.PC(o_r, o_i)
         return ((new_lag, new_tail), out,
                 {"exact": exact, "residual": resid,
-                 "branch_hops": jnp.sum(jnp.abs(k))})
+                 "branch_hops": jnp.sum(jnp.abs(k)),
+                 "fell_back": fell_back})
 
     run.init_state = init_state
     return run

@@ -1335,3 +1335,136 @@ def ofs_filter_planar(xr, xi, tail_r, tail_i, plan: OfsPlan,
         interpret=interpret,
     )(xr2, xi2, tr2, ti2, *plan.consts)
     return yr.reshape(n), yi.reshape(n)
+
+
+# ---------------------------------------------------------------------------
+# X-Engine stacked Gram: per-channel VMEM-accumulated G = W^T W over
+# integration-time tiles, with the redundant ri block never computed.
+#
+# The XLA einsum form (xengine_correlate_stacked) concatenates W=[zr|zi]
+# and computes the full symmetric [2SP, 2SP] Gram — at S=64/2-pol int8 the
+# contraction sits exactly at the HBM/MXU roofline knee, but the einsum
+# reaches only ~65% of it (round-3 slope: 1.43 ms vs the 0.94 ms this
+# kernel measures = 149 useful TFLOP/s, xGPU counting).  Here each channel's
+# operands stream once through double-buffered VMEM tiles and only the three
+# needed blocks are accumulated (rr, ii, ir — ri is ir^T, gi = ir − ir^T):
+# 25% less MXU work than the full stacked Gram.  Reference semantics:
+# lib/clXEngine_impl.cc:727-790 (cxmac over [channel][baseline]).
+# ---------------------------------------------------------------------------
+
+
+def _xengine_gram_kernel(zr_hbm, zi_hbm, out_a, out_b, w, acc, sems, *,
+                         nt, t_tile, nf, acc_dtype):
+    fch = pl.program_id(0)
+    it = pl.program_id(1)
+    # slot parity follows the GLOBAL grid index: with nt odd the
+    # cross-channel prefetch would otherwise land in the wrong buffer
+    slot = jax.lax.rem(fch * nt + it, 2)
+
+    def cp(p_, f_, j, s):
+        src = (zr_hbm, zi_hbm)[p_]
+        return pltpu.make_async_copy(
+            src.at[f_, pl.ds(j * t_tile, t_tile), :], w.at[s, p_],
+            sems.at[s, p_])
+
+    @pl.when((fch == 0) & (it == 0))
+    def _():
+        for p_ in range(2):
+            cp(p_, 0, 0, 0).start()
+
+    nxt = it + 1
+    last = nxt >= nt
+    nf_ = jnp.where(last, fch + 1, fch)
+    nj = jnp.where(last, 0, nxt)
+
+    @pl.when(nf_ < nf)
+    def _():
+        for p_ in range(2):
+            cp(p_, nf_, nj, 1 - slot).start()
+
+    dn = (((0,), (0,)), ((), ()))
+    for s in range(2):                    # static slot unroll
+        @pl.when(slot == s)
+        def _(s=s):
+            for p_ in range(2):
+                cp(p_, fch, it, s).wait()
+            b0 = w[s, 0]
+            b1 = w[s, 1]
+            a00 = jax.lax.dot_general(b0, b0, dn,
+                                      preferred_element_type=acc_dtype)
+            a11 = jax.lax.dot_general(b1, b1, dn,
+                                      preferred_element_type=acc_dtype)
+            a10 = jax.lax.dot_general(b1, b0, dn,
+                                      preferred_element_type=acc_dtype)
+
+            @pl.when(it == 0)
+            def _():
+                acc[0] = a00 + a11
+                acc[1] = a10
+
+            @pl.when(it > 0)
+            def _():
+                acc[0] = acc[0] + a00 + a11
+                acc[1] = acc[1] + a10
+
+    @pl.when(it == nt - 1)
+    def _():
+        out_a[0] = acc[0]
+        out_b[0] = acc[1]
+
+
+def xengine_gram_stacked(zr, zi, t_tile: int = 4096,
+                         interpret: bool = False):
+    """Fused stacked-Gram X-Engine contraction (triangular-only compute).
+
+    Args:
+      zr, zi: [F, T, 128] int8 or bfloat16 channel-major spectra
+        (stations·pols on the 128 lanes — S·P must be exactly 128, e.g.
+        the reference benchmark's 64 stations × 2 pol).
+      t_tile: integration-time rows per VMEM tile (divisor of T; 2048+
+        amortizes the DMA setup, 4096 measured fastest — see BENCH_TPU.md.
+        CAUTION: t_tile=8192 crashed the TPU worker in round-3 probes;
+        values above 4096 are clamped).
+
+    Returns (a, b): a = zr·zrᵀ + zi·ziᵀ and b = zi·zrᵀ, each
+    [F, 128, 128] (int32 for int8 inputs — EXACT accumulation — else
+    float32).  The Gram re/im parts are gr = a, gi = b − bᵀ; assembly,
+    scaling and triangular extraction live in
+    xengine.xengine_correlate_stacked.
+    """
+    f, t, sp = zr.shape
+    if sp != LANES:
+        raise ValueError(f"S·P must be {LANES} lanes (got {sp})")
+    if zr.dtype != zi.dtype:
+        raise ValueError("zr/zi dtypes must match")
+    t_tile = min(t_tile, 4096)    # 8192 crashed the TPU worker (round 3)
+    while t % t_tile:
+        t_tile //= 2
+    sub = 32 if zr.dtype == jnp.int8 else 16
+    if t_tile < sub or t_tile % sub:
+        raise ValueError(f"T={t} not tileable at {zr.dtype} granularity")
+    nt = t // t_tile
+    acc_dtype = (jnp.int32 if jnp.issubdtype(zr.dtype, jnp.integer)
+                 else jnp.float32)
+    return pl.pallas_call(
+        partial(_xengine_gram_kernel, nt=nt, t_tile=t_tile, nf=f,
+                acc_dtype=acc_dtype),
+        grid=(f, nt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=(pl.BlockSpec((1, LANES, LANES), lambda i, j: (i, 0, 0)),
+                   pl.BlockSpec((1, LANES, LANES), lambda i, j: (i, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((f, LANES, LANES), acc_dtype),
+                   jax.ShapeDtypeStruct((f, LANES, LANES), acc_dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, t_tile, LANES), zr.dtype),
+            pltpu.VMEM((2, LANES, LANES), acc_dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * f * t * LANES * LANES,
+            bytes_accessed=2 * zr.size * zr.dtype.itemsize
+            + 2 * f * LANES * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(zr, zi)

@@ -263,7 +263,8 @@ def _pipeline_emit(accum, corr, count, pipe: int):
 
 def xengine_correlate_stacked(zr, zi, npol: int = 2,
                               output_format: int = CLXCORR_TRIANGULAR_ORDER,
-                              compute_dtype=None, scale: float = 1.0):
+                              compute_dtype=None, scale: float = 1.0,
+                              use_pallas: bool | None = None):
     """Channel-major X-Engine with STACKED operands: one Gram matmul.
 
     zr/zi: [F, T, S·P] float32/bfloat16/int8.  The four real einsums of
@@ -279,7 +280,15 @@ def xengine_correlate_stacked(zr, zi, npol: int = 2,
     s8×s8→s32 path with EXACT integer accumulation — ``scale`` (e.g.
     1/127²) is applied once on the int32 result.  bfloat16 is exact for
     ≤8-bit quantized streams.  Returns planar.PC float32, triangular xGPU
-    order or full matrix."""
+    order or full matrix.
+
+    use_pallas (default auto: on for TPU backends when S·P == 128 lanes
+    and the dtype is int8/bfloat16): route the contraction through
+    pallas_kernels.xengine_gram_stacked — double-buffered per-channel
+    tiles, triangular-only block compute (the redundant ri block is never
+    formed; gi = ir − irᵀ).  Bit-identical results (int8 accumulation is
+    integer-exact on both paths); measured 97 → 149 useful TFLOP/s at
+    S=64/2-pol/256-ch/8192-frame int8 (BENCH_TPU.md round 3)."""
     from clenabled_tpu.dsp import planar
 
     f, t, sp = zr.shape
@@ -287,16 +296,28 @@ def xengine_correlate_stacked(zr, zi, npol: int = 2,
     if compute_dtype is not None:
         zr = zr.astype(compute_dtype)
         zi = zi.astype(compute_dtype)
-    w = jnp.concatenate([zr, zi], axis=-1)            # [F, T, 2·SP]
-    integer = jnp.issubdtype(w.dtype, jnp.integer)
-    acc_t = jnp.int32 if integer else jnp.float32
-    g2 = jnp.einsum("ftk,ftl->fkl", w, w, preferred_element_type=acc_t)
-    rr = g2[:, :sp, :sp]
-    ri = g2[:, :sp, sp:]
-    ir = g2[:, sp:, :sp]
-    ii = g2[:, sp:, sp:]
-    gr = (rr + ii).astype(jnp.float32)
-    gi = (ir - ri).astype(jnp.float32)
+    integer = jnp.issubdtype(zr.dtype, jnp.integer)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and sp == 128
+                      and zr.dtype in (jnp.int8, jnp.bfloat16))
+    if use_pallas:
+        from clenabled_tpu.dsp import pallas_kernels
+
+        a, b = pallas_kernels.xengine_gram_stacked(
+            zr, zi, interpret=jax.default_backend() == "cpu")
+        gr = a.astype(jnp.float32)
+        gi = (b - jnp.swapaxes(b, -1, -2)).astype(jnp.float32)
+    else:
+        w = jnp.concatenate([zr, zi], axis=-1)        # [F, T, 2·SP]
+        acc_t = jnp.int32 if integer else jnp.float32
+        g2 = jnp.einsum("ftk,ftl->fkl", w, w, preferred_element_type=acc_t)
+        rr = g2[:, :sp, :sp]
+        ri = g2[:, :sp, sp:]
+        ir = g2[:, sp:, :sp]
+        ii = g2[:, sp:, sp:]
+        gr = (rr + ii).astype(jnp.float32)
+        gi = (ir - ri).astype(jnp.float32)
     if scale != 1.0:
         gr = gr * jnp.float32(scale)
         gi = gi * jnp.float32(scale)

