@@ -36,6 +36,8 @@ from clenabled_tpu.sharding.xengine_sharded import (  # noqa: F401
 from clenabled_tpu.sharding.planar_halo import (  # noqa: F401
     make_sharded_fft_filter_planar,
     make_sharded_channelizer_planar,
+    make_sharded_channelizer_fused_oversampled,
+    make_sharded_costas_channels,
     sharded_xengine_planar,
 )
 from clenabled_tpu.sharding.chain import (  # noqa: F401

@@ -151,3 +151,131 @@ def sharded_xengine_planar(z, mesh: Mesh, axis: str = "shard", npol: int = 2):
                                                     npol=npol)
 
     return run(z)
+
+
+def make_sharded_channelizer_fused_oversampled(taps, num_channels: int,
+                                               ninputs_per_iter: int,
+                                               mesh: Mesh,
+                                               axis: str = "shard"):
+    """Time-sharded FUSED oversampled PFB (the production R<M kernel,
+    pallas_kernels.pfb_oversampled_fused) — per-shard Pallas kernel with a
+    ring-ppermute OS_TAIL_LEN halo.
+
+    Rotation correctness without per-shard constants: a shard's global
+    output-group offset is idx·local/R, a multiple of L (enforced below),
+    and any multiple-of-L group advance leaves the oversampling rotation
+    (j + i·(M−R)) mod M invariant because (M/R)·(M−R) ≡ 0 (mod M) — the
+    same invariance the streaming form relies on between calls.  Output
+    timing equals the single-chip streaming kernel: the stream lags by
+    OS_TAIL_LEN samples.
+
+    apply(state, x: PC[D·local]) → (state, out: PC[D·local/R, M]).
+    local must satisfy the fused kernel's frame constraints per shard.
+    """
+    from clenabled_tpu.dsp import channelizer as dsp_chan
+    from clenabled_tpu.dsp import pallas_kernels
+
+    m, r = num_channels, ninputs_per_iter
+    taps_rm, ntaps = dsp_chan._pfb_constants(taps, m, r)
+    if not dsp_chan.fused_oversampled_supported(m, r, ntaps):
+        raise ValueError(f"fused oversampled kernel unsupported for "
+                         f"M={m}, R={r}, ntaps={ntaps}")
+    import numpy as np
+
+    taps_np = np.asarray(taps_rm)
+    h = pallas_kernels.OS_TAIL_LEN
+    ell = m // r
+    d = mesh.shape[axis]
+    perm = _ring_fwd(d)
+    interpret = jax.default_backend() == "cpu"
+
+    def init_state():
+        z = jnp.zeros((d, h), jnp.float32)
+        return (z, jnp.zeros_like(z))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=((P(axis, None), P(axis, None)),
+                       planar.PC(P(axis), P(axis))),
+             out_specs=((P(axis, None), P(axis, None)),
+                        planar.PC(P(axis, None), P(axis, None))),
+             check_vma=False)  # pallas_call outputs carry no vma info
+    def step(state, x):
+        idx = jax.lax.axis_index(axis)
+        n = x.re.shape[-1]
+        recv_r = jax.lax.ppermute(x.re[-h:], axis, perm)
+        recv_i = jax.lax.ppermute(x.im[-h:], axis, perm)
+        tail_r = jnp.where(idx == 0, state[0][0], recv_r)
+        tail_i = jnp.where(idx == 0, state[1][0], recv_i)
+        tile = min(512, 1024 // ell)
+        while (n // 128) % tile:
+            tile //= 2
+        zr, zi = pallas_kernels.pfb_oversampled_fused(
+            x.re, x.im, tail_r, tail_i, taps_np, m, r, tile_rows=tile,
+            interpret=interpret)
+        new_state = (jnp.where(idx == 0, recv_r, state[0][0])[None],
+                     jnp.where(idx == 0, recv_i, state[1][0])[None])
+        return new_state, planar.PC(zr, zi)
+
+    def apply(state, x):
+        local = x.re.shape[-1] // d
+        if (local // r) % ell or local % 1024:
+            raise ValueError(
+                f"per-shard block {local} must be a multiple of 1024 and "
+                f"of R·L")
+        return step(state, x)
+
+    return init_state, apply
+
+
+def make_sharded_costas_channels(loop_bw: float, order: int, mesh: Mesh,
+                                 axis: str = "shard", chunk: int = 1024,
+                                 warmup: int = 512,
+                                 exact_fallback_residual: float | None = None):
+    """CHANNEL-parallel chunked Costas loops across the mesh: C independent
+    streams (e.g. the channelizer's outputs) sharded over devices, each
+    running the speculative chunk-parallel loop (dsp.demod.
+    make_costas_loop_chunked) locally — no cross-chip communication in the
+    hot path, the natural multi-chip shape for per-sample feedback DSP.
+
+    apply(state, x: PC[C, n]) → (state, out: PC[C, n], diag) with diag
+    arrays per channel ("residual", "exact", "branch_hops").  C must be a
+    multiple of the mesh axis size.
+    """
+    from clenabled_tpu.dsp import demod
+
+    run = demod.make_costas_loop_chunked(
+        loop_bw, order, chunk=chunk, warmup=warmup,
+        exact_fallback_residual=exact_fallback_residual)
+    d = mesh.shape[axis]
+
+    def init_state(num_channels: int):
+        if num_channels % d:
+            raise ValueError(f"channels {num_channels} not a multiple of "
+                             f"mesh size {d}")
+        z = jnp.zeros((num_channels,), jnp.float32)
+        w = jnp.zeros((num_channels, warmup), jnp.float32)
+        return (demod.CostasState(phase=z, freq=z, error=z),
+                planar.PC(w, jnp.zeros_like(w)))
+
+    vrun = jax.vmap(lambda lag, tail, fr: run((lag, tail), fr))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=((demod.CostasState(P(axis), P(axis), P(axis)),
+                        planar.PC(P(axis, None), P(axis, None))),
+                       planar.PC(P(axis, None), P(axis, None))),
+             out_specs=((demod.CostasState(P(axis), P(axis), P(axis)),
+                         planar.PC(P(axis, None), P(axis, None))),
+                        planar.PC(P(axis, None), P(axis, None)),
+                        {"branch_hops": P(axis), "exact": P(axis),
+                         "fell_back": P(axis), "residual": P(axis)}))
+    def step(state, x):
+        lag, tail = state
+        (nlag, ntail), out, diag = vrun(lag, tail, x)
+        return (nlag, ntail), out, diag
+
+    def apply(state, x):
+        return step(state, x)
+
+    return init_state, apply

@@ -374,3 +374,79 @@ def test_sharded_stacked_xengine_matches_single_device(dt_name):
                                    rtol=1e-5, atol=1e-4)
         np.testing.assert_allclose(np.asarray(out_s.im), np.asarray(out_q.im),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_fused_oversampled_matches_streaming():
+    """Time-sharded fused OS-PFB kernel (ring-ppermute OS_TAIL_LEN halo)
+    == the single-chip streaming kernel on the concatenated stream, across
+    2 frames (carried cross-frame state through the ring)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from clenabled_tpu.dsp import channelizer, firdes, pallas_kernels, planar
+    from clenabled_tpu.sharding import (
+        make_sharded_channelizer_fused_oversampled)
+
+    m, r = 16, 8
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.25)
+    taps = np.concatenate([taps, np.zeros((-len(taps)) % m, np.float32)])
+    d = 4
+    mesh = Mesh(np.array(jax.devices()[:d]), ("shard",))
+    local = 2048
+    n = d * local
+    rng = np.random.default_rng(3)
+
+    init_s, apply_s = make_sharded_channelizer_fused_oversampled(
+        taps, m, r, mesh)
+    init_1, apply_1 = channelizer.make_channelizer_fused_oversampled(
+        taps, m, r, list(range(m)), interpret=True)
+
+    st_s = init_s()
+    st_1 = init_1()
+    for frame in range(2):
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+        fr = planar.PC(np.real(x).astype(np.float32),
+                       np.imag(x).astype(np.float32))
+        st_s, out_s = apply_s(st_s, fr)
+        st_1, out_1 = apply_1(st_1, fr)
+        got = np.asarray(out_s.re) + 1j * np.asarray(out_s.im)
+        want = (np.asarray(out_1.re) + 1j * np.asarray(out_1.im))
+        np.testing.assert_allclose(got.reshape(want.shape), want,
+                                   atol=1e-3 * max(1.0, np.abs(want).max()),
+                                   err_msg=f"frame {frame}")
+
+
+def test_sharded_costas_channels_matches_single_chip():
+    """Channel-parallel chunked Costas over the mesh == the same chunked
+    loop run per channel on one device (no cross-chip math in the path)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from clenabled_tpu.dsp import demod, planar
+    from clenabled_tpu.sharding import make_sharded_costas_channels
+
+    d, c, n = 4, 8, 2048
+    chunk, warmup = 512, 256
+    mesh = Mesh(np.array(jax.devices()[:d]), ("shard",))
+    rng = np.random.default_rng(4)
+    ph = 0.004 * np.arange(n)[None, :] + rng.uniform(0, 6, (c, 1))
+    x = planar.PC(np.cos(ph).astype(np.float32),
+                  np.sin(ph).astype(np.float32))
+
+    init_s, apply_s = make_sharded_costas_channels(
+        0.02, 2, mesh, chunk=chunk, warmup=warmup)
+    st = init_s(c)
+    st, out, diag = apply_s(st, x)
+
+    run1 = demod.make_costas_loop_chunked(0.02, 2, chunk=chunk,
+                                          warmup=warmup)
+    for ch in range(c):
+        s1 = run1.init_state()
+        s1, o1, d1 = run1(s1, planar.PC(x.re[ch], x.im[ch]))
+        np.testing.assert_array_equal(np.asarray(out.re)[ch],
+                                      np.asarray(o1.re))
+        np.testing.assert_array_equal(np.asarray(out.im)[ch],
+                                      np.asarray(o1.im))
+        np.testing.assert_allclose(float(np.asarray(diag["residual"])[ch]),
+                                   float(d1["residual"]), rtol=1e-6, atol=0)
