@@ -1354,12 +1354,13 @@ def ofs_filter_planar(xr, xi, tail_r, tail_i, plan: OfsPlan,
 
 
 def _xengine_gram_kernel(zr_hbm, zi_hbm, out_a, out_b, w, acc, sems, *,
-                         nt, t_tile, nf, acc_dtype):
+                         nt, t_tile, nf, acc_dtype, kb, tri_blocks):
     fch = pl.program_id(0)
     it = pl.program_id(1)
     # slot parity follows the GLOBAL grid index: with nt odd the
     # cross-channel prefetch would otherwise land in the wrong buffer
     slot = jax.lax.rem(fch * nt + it, 2)
+    nbt = len(tri_blocks)
 
     def cp(p_, f_, j, s):
         src = (zr_hbm, zi_hbm)[p_]
@@ -1388,29 +1389,39 @@ def _xengine_gram_kernel(zr_hbm, zi_hbm, out_a, out_b, w, acc, sems, *,
         def _(s=s):
             for p_ in range(2):
                 cp(p_, fch, it, s).wait()
-            b0 = w[s, 0]
-            b1 = w[s, 1]
-            a00 = jax.lax.dot_general(b0, b0, dn,
-                                      preferred_element_type=acc_dtype)
-            a11 = jax.lax.dot_general(b1, b1, dn,
-                                      preferred_element_type=acc_dtype)
-            a10 = jax.lax.dot_general(b1, b0, dn,
-                                      preferred_element_type=acc_dtype)
+            br = [w[s, 0, :, i * LANES:(i + 1) * LANES] for i in range(kb)]
+            bi = [w[s, 1, :, i * LANES:(i + 1) * LANES] for i in range(kb)]
+            new = []
+            # gr blocks: rr + ii, LOWER triangle only (gr is symmetric)
+            for (i, j) in tri_blocks:
+                new.append(
+                    jax.lax.dot_general(br[i], br[j], dn,
+                                        preferred_element_type=acc_dtype)
+                    + jax.lax.dot_general(bi[i], bi[j], dn,
+                                          preferred_element_type=acc_dtype))
+            # ir blocks: all k×k (gi = ir − irᵀ needs the full block grid)
+            for i in range(kb):
+                for j in range(kb):
+                    new.append(jax.lax.dot_general(
+                        bi[i], br[j], dn, preferred_element_type=acc_dtype))
 
             @pl.when(it == 0)
             def _():
-                acc[0] = a00 + a11
-                acc[1] = a10
+                for idx, v in enumerate(new):
+                    acc[idx] = v
 
             @pl.when(it > 0)
             def _():
-                acc[0] = acc[0] + a00 + a11
-                acc[1] = acc[1] + a10
+                for idx, v in enumerate(new):
+                    acc[idx] = acc[idx] + v
 
     @pl.when(it == nt - 1)
     def _():
-        out_a[0] = acc[0]
-        out_b[0] = acc[1]
+        for idx in range(nbt):
+            out_a[0, idx] = acc[idx]
+        for i in range(kb):
+            for j in range(kb):
+                out_b[0, i, j] = acc[nbt + i * kb + j]
 
 
 def xengine_gram_stacked(zr, zi, t_tile: int = 4096,
@@ -1418,26 +1429,31 @@ def xengine_gram_stacked(zr, zi, t_tile: int = 4096,
     """Fused stacked-Gram X-Engine contraction (triangular-only compute).
 
     Args:
-      zr, zi: [F, T, 128] int8 or bfloat16 channel-major spectra
-        (stations·pols on the 128 lanes — S·P must be exactly 128, e.g.
-        the reference benchmark's 64 stations × 2 pol).
+      zr, zi: [F, T, S·P] int8 or bfloat16 channel-major spectra
+        (stations·pols on the lanes — S·P must be a multiple of 128;
+        the reference benchmark's 64 stations × 2 pol is one lane block,
+        larger arrays get a k×k block-triangular schedule whose compute
+        saving grows toward 2× with k = S·P/128).
       t_tile: integration-time rows per VMEM tile (divisor of T; 2048+
         amortizes the DMA setup, 4096 measured fastest — see BENCH_TPU.md.
         CAUTION: t_tile=8192 crashed the TPU worker in round-3 probes;
-        values above 4096 are clamped).
+        values above 4096 are clamped, and large S·P scales the tile down
+        to bound VMEM).
 
     Returns (a, b): a = zr·zrᵀ + zi·ziᵀ and b = zi·zrᵀ, each
-    [F, 128, 128] (int32 for int8 inputs — EXACT accumulation — else
+    [F, S·P, S·P] (int32 for int8 inputs — EXACT accumulation — else
     float32).  The Gram re/im parts are gr = a, gi = b − bᵀ; assembly,
     scaling and triangular extraction live in
     xengine.xengine_correlate_stacked.
     """
     f, t, sp = zr.shape
-    if sp != LANES:
-        raise ValueError(f"S·P must be {LANES} lanes (got {sp})")
+    if sp % LANES:
+        raise ValueError(f"S·P must be a multiple of {LANES} (got {sp})")
+    kb = sp // LANES
     if zr.dtype != zi.dtype:
         raise ValueError("zr/zi dtypes must match")
-    t_tile = min(t_tile, 4096)    # 8192 crashed the TPU worker (round 3)
+    t_tile = min(t_tile, 4096,    # 8192 crashed the TPU worker (round 3)
+                 max(256, (1 << 22) // (4 * sp)))  # ≤~4 MB of W tiles
     while t % t_tile:
         t_tile //= 2
     sub = 32 if zr.dtype == jnp.int8 else 16
@@ -1446,25 +1462,51 @@ def xengine_gram_stacked(zr, zi, t_tile: int = 4096,
     nt = t // t_tile
     acc_dtype = (jnp.int32 if jnp.issubdtype(zr.dtype, jnp.integer)
                  else jnp.float32)
-    return pl.pallas_call(
+    tri_blocks = tuple((i, j) for i in range(kb) for j in range(i + 1))
+    nbt = len(tri_blocks)
+    a_blk, b_blk = pl.pallas_call(
         partial(_xengine_gram_kernel, nt=nt, t_tile=t_tile, nf=f,
-                acc_dtype=acc_dtype),
+                acc_dtype=acc_dtype, kb=kb, tri_blocks=tri_blocks),
         grid=(f, nt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=(pl.BlockSpec((1, LANES, LANES), lambda i, j: (i, 0, 0)),
-                   pl.BlockSpec((1, LANES, LANES), lambda i, j: (i, 0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((f, LANES, LANES), acc_dtype),
-                   jax.ShapeDtypeStruct((f, LANES, LANES), acc_dtype)),
+        out_specs=(
+            pl.BlockSpec((1, nbt, LANES, LANES),
+                         lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kb, kb, LANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((f, nbt, LANES, LANES), acc_dtype),
+            jax.ShapeDtypeStruct((f, kb, kb, LANES, LANES), acc_dtype),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, t_tile, LANES), zr.dtype),
-            pltpu.VMEM((2, LANES, LANES), acc_dtype),
+            pltpu.VMEM((2, 2, t_tile, sp), zr.dtype),
+            pltpu.VMEM((nbt + kb * kb, LANES, LANES), acc_dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 3 * f * t * LANES * LANES,
+            flops=2 * (2 * nbt + kb * kb) * f * t * LANES * LANES,
             bytes_accessed=2 * zr.size * zr.dtype.itemsize
-            + 2 * f * LANES * LANES * 4,
+            + (nbt + kb * kb) * f * LANES * LANES * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(zr, zi)
+    if kb == 1:
+        return a_blk[:, 0], b_blk[:, 0, 0]
+    # assemble the full [F, SP, SP] matrices (XLA-side, one HBM copy):
+    # b is the complete block grid; a mirrors the lower triangle (gr is
+    # symmetric: gr[j,i] = gr[i,j]ᵀ)
+    b_full = jnp.transpose(b_blk, (0, 1, 3, 2, 4)).reshape(f, sp, sp)
+    idx = {ij: n for n, ij in enumerate(tri_blocks)}
+    rows = []
+    for i in range(kb):
+        cols = []
+        for j in range(kb):
+            if j <= i:
+                cols.append(a_blk[:, idx[(i, j)]])
+            else:
+                cols.append(jnp.swapaxes(a_blk[:, idx[(j, i)]], -1, -2))
+        rows.append(jnp.concatenate(cols, axis=-1))
+    a_full = jnp.concatenate(rows, axis=-2)
+    return a_full, b_full

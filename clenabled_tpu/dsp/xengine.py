@@ -282,13 +282,14 @@ def xengine_correlate_stacked(zr, zi, npol: int = 2,
     ≤8-bit quantized streams.  Returns planar.PC float32, triangular xGPU
     order or full matrix.
 
-    use_pallas (default auto: on for TPU backends when S·P == 128 lanes
-    and the dtype is int8/bfloat16): route the contraction through
-    pallas_kernels.xengine_gram_stacked — double-buffered per-channel
-    tiles, triangular-only block compute (the redundant ri block is never
-    formed; gi = ir − irᵀ).  Bit-identical results (int8 accumulation is
-    integer-exact on both paths); measured 97 → 149 useful TFLOP/s at
-    S=64/2-pol/256-ch/8192-frame int8 (BENCH_TPU.md round 3)."""
+    use_pallas (default auto: on for TPU backends when S·P is a multiple
+    of 128 lanes and the dtype is int8/bfloat16): route the contraction
+    through pallas_kernels.xengine_gram_stacked — double-buffered
+    per-channel tiles, block-triangular compute (the redundant upper Gram
+    half is never formed; gi = ir − irᵀ).  Bit-identical results (int8
+    accumulation is integer-exact on both paths); measured 97 → 134-149
+    useful TFLOP/s at S=64/2-pol/256-ch/8192-frame int8, and the
+    triangular saving grows toward 2× at larger S·P (BENCH_TPU.md)."""
     from clenabled_tpu.dsp import planar
 
     f, t, sp = zr.shape
@@ -299,7 +300,7 @@ def xengine_correlate_stacked(zr, zi, npol: int = 2,
     integer = jnp.issubdtype(zr.dtype, jnp.integer)
     if use_pallas is None:
         use_pallas = (jax.default_backend() not in ("cpu",)
-                      and sp == 128
+                      and sp % 128 == 0
                       and zr.dtype in (jnp.int8, jnp.bfloat16))
     if use_pallas:
         from clenabled_tpu.dsp import pallas_kernels

@@ -274,3 +274,26 @@ def test_pallas_gram_stacked_matches_einsum_exact():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gotb.im), np.asarray(refb.im),
                                rtol=1e-6)
+
+
+def test_pallas_gram_stacked_block_triangular_sp256():
+    """k=2 lane-block case (S=128, 2 pol → S·P=256): the block-triangular
+    schedule + XLA mirror assembly must stay integer-exact vs the einsum."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import xengine
+
+    rng = np.random.default_rng(7)
+    f, t, s, p = 2, 128, 128, 2
+    q = rng.integers(-31, 32, (2, f, t, s * p))
+    zr8 = jnp.asarray(q[0], jnp.int8)
+    zi8 = jnp.asarray(q[1], jnp.int8)
+    for fmt in (xengine.CLXCORR_TRIANGULAR_ORDER, xengine.CLXCORR_FULL_MATRIX):
+        ref = xengine.xengine_correlate_stacked(zr8, zi8, npol=p,
+                                                use_pallas=False,
+                                                output_format=fmt)
+        got = xengine.xengine_correlate_stacked(zr8, zi8, npol=p,
+                                                use_pallas=True,
+                                                output_format=fmt)
+        np.testing.assert_array_equal(np.asarray(got.re), np.asarray(ref.re))
+        np.testing.assert_array_equal(np.asarray(got.im), np.asarray(ref.im))
