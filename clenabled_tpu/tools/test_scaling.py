@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--stations-per-chip", type=int, default=8)
     ap.add_argument("--channels", type=int, default=32)
     ap.add_argument("--integration", type=int, default=512)
+    ap.add_argument("--ospfb", action="store_true",
+                    help="weak scaling of the time-sharded FUSED "
+                    "oversampled PFB (ring-ppermute OS_TAIL_LEN halo)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -45,6 +48,9 @@ def main() -> None:
 
     if args.xengine:
         _xengine_scaling(args)
+        return
+    if args.ospfb:
+        _ospfb_scaling(args)
         return
 
     import jax
@@ -161,6 +167,75 @@ def _xengine_scaling(args) -> None:
             base = per_chip
         print(f"  {d} device(s), S={s}: {tflops:8.3f} TFLOP/s useful   "
               f"{per_chip:8.3f} /chip   efficiency {per_chip/base*100:5.1f}%")
+
+
+
+
+def _ospfb_scaling(args) -> None:
+    """Weak scaling of the time-sharded fused oversampled PFB: per-chip
+    sample block fixed (samples grow with D), halo = one OS_TAIL_LEN ring
+    ppermute per step — communication is O(1) per chip while compute
+    scales, the canonical time-sharding shape."""
+    import time
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from clenabled_tpu.dsp import firdes, planar
+    from clenabled_tpu.sharding import (
+        make_sharded_channelizer_fused_oversampled)
+    from clenabled_tpu.tools._timing import _fence, slope_per_call
+
+    m, r = 16, 8
+    proto = firdes.low_pass(1.0, float(m), 0.5, 0.25)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    avail = len(jax.devices())
+    sizes = [d for d in args.devices if d <= avail]
+    local = max(1024, args.samples_per_chip // 1024 * 1024)
+    print(f"platform: {jax.devices()[0].platform} x{avail}   "
+          f"fused OS-PFB 16ch/R=8, samples/chip/step: {local}")
+    if jax.default_backend() == "cpu":
+        print("  NOTE: on the CPU mesh the Pallas kernel runs in "
+              "INTERPRET mode — throughput/efficiency here measure "
+              "interpreter overhead under host-core contention, not ICI "
+              "scaling.  Use this mode on a real multi-chip slice; CPU "
+              "correctness is covered by tests/test_sharding.py.")
+    rng = np.random.default_rng(0)
+    base = None
+    for d in sizes:
+        mesh = Mesh(np.array(jax.devices()[:d]), ("shard",))
+        init_s, apply_s = make_sharded_channelizer_fused_oversampled(
+            proto, m, r, mesh)
+        n = d * local
+        x = planar.PC(
+            jax.device_put(rng.standard_normal(n).astype(np.float32)),
+            jax.device_put(rng.standard_normal(n).astype(np.float32)))
+        st = init_s()
+        st, out = apply_s(st, x)
+        _fence((out.re,))
+
+        def reps(k):
+            s = st
+            for _ in range(k):
+                s, o = apply_s(s, x)
+            _fence((o.re,))
+
+        k1, k2 = max(2, args.iterations // 8), args.iterations
+        t0 = time.perf_counter(); reps(k1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); reps(k2); t2 = time.perf_counter() - t0
+        step_s = slope_per_call(t1, k1, t2, k2)
+        total = n / step_s / 1e6
+        per_chip = total / d
+        if base is None:
+            base = per_chip
+        print(f"  {d} device(s): {total:8.1f} MSPS total   "
+              f"{per_chip:8.1f} MSPS/chip   efficiency "
+              f"{per_chip / base * 100:5.1f}%")
 
 
 if __name__ == "__main__":
