@@ -92,7 +92,7 @@ class Flowgraph:
 
     def compile(self, frame_size: int | None = 8192,
                 precision: str | None = None,
-                steps_per_dispatch: int = 1) -> "Runner":
+                steps_per_dispatch: int | str = 1) -> "Runner":
         """Build the Runner.  precision: matmul precision for the whole
         jitted step ("float32" = exact f32 sums on TPU; None = backend
         default, a single bf16-operand MXU pass for f32 matmuls — see
@@ -105,8 +105,15 @@ class Flowgraph:
         without changing per-frame semantics (states thread through the
         scan exactly as through K separate step() calls; outputs and
         messages gain a leading K axis).  Runner.run() accepts per-frame
-        feed iterators regardless and batches them host-side."""
+        feed iterators regardless and batches them host-side.
+
+        ``steps_per_dispatch="auto"`` picks K so each dispatch carries
+        ~2^21 base-frame samples (clamped to [1, 64]) — the measured
+        device-bound regime on TPU (BENCH_TPU.md round 3: 8192-pt frames
+        go 53 → 646 Msps at K=64; 2^17 frames 202 → 1,500 at K=16)."""
         order, step, frames, resolved = self._build(frame_size)
+        if steps_per_dispatch == "auto":
+            steps_per_dispatch = max(1, min(64, (1 << 21) // max(1, resolved)))
         return Runner(self, order, step, frames, resolved,
                       precision=precision,
                       steps_per_dispatch=steps_per_dispatch)

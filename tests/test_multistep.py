@@ -138,3 +138,14 @@ def test_stacked_feed_shape_validated():
     bad = np.zeros((2, frame), np.complex64)  # K mismatch
     with pytest.raises(ValueError, match="steps_per_dispatch"):
         r.step(bad)
+
+
+def test_auto_steps_per_dispatch():
+    g, lpf, tap = _lpf_mag_graph()
+    frame = lpf.quantum * 2  # small frame -> large K, clamped at 64
+    r = g.compile(frame_size=frame, steps_per_dispatch="auto")
+    assert r.steps_per_dispatch == min(64, (1 << 21) // frame)
+    g2, lpf2, tap2 = _lpf_mag_graph()
+    big = lpf2.quantum * (1 << 15)   # > 2^21 samples -> K clamps to 1
+    r2 = g2.compile(frame_size=big, steps_per_dispatch="auto")
+    assert r2.steps_per_dispatch == 1
