@@ -293,12 +293,13 @@ def polyphase_channelize(x, taps, num_channels: int, ninputs_per_iter: int,
 def fused_oversampled_supported(num_channels: int, ninputs_per_iter: int,
                                 ntaps: int) -> bool:
     """Whether the fused Pallas oversampled kernel covers this config
-    (R | M, the oversampling factor divides the 128/M lane groups, and the
-    tap reach fits the carried-tail halo)."""
+    (R | M, M | 128, and the tap reach fits the carried-tail halo.
+    Round 3 removed the old (128/M) % L restriction — the phase-group
+    interleave generalizes, see pallas_kernels._pfb_os_constants)."""
     from clenabled_tpu.dsp import pallas_kernels
 
     m, r = num_channels, ninputs_per_iter
-    if r >= m or m % r or 128 % m or (128 // m) % (m // r):
+    if r >= m or m % r or 128 % m:
         return False
     w = -(-ntaps // m)
     reach = (w - 1) * m + (m // r - 1) * r

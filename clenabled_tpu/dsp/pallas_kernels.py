@@ -764,9 +764,12 @@ def _pfb_os_constants(taps_rm, m: int, r: int, i_offset: int = 0):
     * D[p, f] = phase p's rotated inverse-DFT block matrix (lane reversal
       + static oversampling rotation folded in) with COLUMNS permuted so
       out_f lands in the final phase-INTERLEAVED row layout: out row
-      or = L·t + f holds global groups i = 8·or + k, whose phase is
-      k mod L (L | 8 required) and whose source slot in acc row t is
-      (8f + k) // L.
+      or = L·t + f holds global groups i = g·or + k (g = 128/M lane
+      groups per row), whose phase is (g·f + k) mod L and whose source
+      slot in acc row t is (g·f + k) // L — always < g, so every output
+      row draws from its own acc row.  (Round 3 generalized this from the
+      L | g special case, where the phase reduces to k mod L — the
+      restriction was never structural.)
 
     Collapsing the stages cuts the per-tile f32 MXU call count ~40% (the
     kernel is MXU-pass-bound: a separate branch+DFT formulation measured
@@ -799,7 +802,7 @@ def _pfb_os_constants(taps_rm, m: int, r: int, i_offset: int = 0):
         bi_ = np.sin(ang)[rows, :]
         for f in range(ell):
             for k in range(nlg):
-                if k % ell != p:
+                if (nlg * f + k) % ell != p:
                     continue
                 src = (nlg * f + k) // ell
                 dr[p, f, src * m : (src + 1) * m, k * m : (k + 1) * m] = br_
@@ -972,10 +975,6 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
         raise ValueError("use the critical-sampled kernels for R == M")
     if LANES % m:
         raise ValueError(f"m must divide {LANES}")
-    if (LANES // m) % ell:
-        raise ValueError(
-            f"oversampling factor L={ell} must divide {LANES // m} "
-            f"lane groups (use the XLA phase-split path otherwise)")
     halo = OS_TAIL_LEN // LANES
     if n % (LANES * tile_rows):
         raise ValueError(

@@ -183,7 +183,47 @@ def test_fused_oversampled_support_matrix():
     assert channelizer.fused_oversampled_supported(16, 8, 128)
     assert channelizer.fused_oversampled_supported(16, 4, 128)
     assert channelizer.fused_oversampled_supported(16, 2, 128)
+    # round 3: the (128/M) % L restriction removed — these now run fused
+    assert channelizer.fused_oversampled_supported(64, 16, 256)
+    assert channelizer.fused_oversampled_supported(32, 4, 160)
+    assert channelizer.fused_oversampled_supported(16, 1, 128)
     assert not channelizer.fused_oversampled_supported(16, 16, 128)  # critical
     assert not channelizer.fused_oversampled_supported(16, 12, 128)  # R∤M
-    assert not channelizer.fused_oversampled_supported(16, 1, 128)   # L>8
     assert not channelizer.fused_oversampled_supported(6, 3, 36)     # M∤128
+
+
+@pytest.mark.parametrize("m,r", [(64, 16), (32, 4), (16, 1)])
+def test_fused_oversampled_generalized_lane_groups(m, r):
+    """Round-3 generalization: configs where L does not divide the 128/M
+    lane groups (phase of lane group k in row family f is (g·f+k) mod L).
+    Fused kernel == XLA planar path on the lag-delayed stream."""
+    from clenabled_tpu.dsp import pallas_kernels, planar
+
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.25)
+    taps = np.concatenate([taps, np.zeros((-len(taps)) % m, np.float32)])
+    lag = pallas_kernels.OS_TAIL_LEN - len(taps) + 1
+    n = 2048
+    x = cplx(2 * n)
+    init_f, apply_f = channelizer.make_channelizer_fused_oversampled(
+        taps, m, r, list(range(m)), interpret=True)
+    st = init_f()
+    got = []
+    for i in range(2):
+        fr = planar.PC(np.real(x[i * n:(i + 1) * n]),
+                       np.imag(x[i * n:(i + 1) * n]))
+        st, y = apply_f(st, fr)
+        got.append(np.asarray(y.re) + 1j * np.asarray(y.im))
+    got = np.concatenate(got)
+    xd = np.concatenate([np.zeros(lag, np.complex64), x])[: 2 * n]
+    init_x, apply_x = channelizer.make_channelizer(taps, m, r,
+                                                   list(range(m)),
+                                                   planar=True)
+    sx = init_x()
+    want = []
+    for i in range(2):
+        fr = planar.PC(np.real(xd[i * n:(i + 1) * n]),
+                       np.imag(xd[i * n:(i + 1) * n]))
+        sx, y = apply_x(sx, fr)
+        want.append(np.asarray(y.re) + 1j * np.asarray(y.im))
+    want = np.concatenate(want)
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())

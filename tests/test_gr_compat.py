@@ -263,3 +263,26 @@ def test_wrap_buckets_frames_to_pow2_quanta(fake_gr):
         remaining = remaining[consumed:]
     # distinct traced sizes bounded by log2, not by #offers
     assert len(seen_sizes - {0}) <= 4
+
+
+def test_wrap_bucketing_respects_decimator_output_capacity(fake_gr):
+    """pow2 bucketing + decimation: the bucket must still fit the output
+    buffer GR offers, and consumed/produced counts stay consistent."""
+    from clenabled_tpu.blocks import LowPassFilter
+    from clenabled_tpu.gr_compat import wrap
+
+    lpf = LowPassFilter(2, 1.0, 1e6, 100e3, 50e3)
+    blk = wrap(lpf)
+    q = lpf.quantum
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(q * 7) + 1j * rng.standard_normal(q * 7)
+         ).astype(np.complex64)
+    # output space for only one quantum's worth of decimated samples
+    out = np.empty(q // 2, np.complex64)
+    n = blk.general_work([x], [out])
+    assert n == q // 2          # bucket clamped by output capacity
+    assert blk.consumed[-1] == q
+    # plenty of room: bucket = largest pow2 multiple of quantum (4q of 7q)
+    out2 = np.empty(q * 4, np.complex64)
+    n2 = blk.general_work([x], [out2])
+    assert n2 == 2 * q          # 4q in → 2q out

@@ -149,3 +149,47 @@ def test_auto_steps_per_dispatch():
     big = lpf2.quantum * (1 << 15)   # > 2^21 samples -> K clamps to 1
     r2 = g2.compile(frame_size=big, steps_per_dispatch="auto")
     assert r2.steps_per_dispatch == 1
+
+
+def test_scan_with_multirate_graph_and_messages():
+    """K>1 over a decimating multi-block chain with a message-emitting
+    block: outputs, carried state and per-substep messages all match
+    per-frame stepping bit-for-bit."""
+    from clenabled_tpu.streaming.block import Block
+
+    class Meter(Block):
+        n_inputs, n_outputs = 1, 1
+
+        def apply(self, state, ins):
+            x = ins[0]
+            return state, (x,), {"peak": abs(x).max()}
+
+    def build(k):
+        g = Flowgraph()
+        lpf = blocks.LowPassFilter(2, 1.0, 1e6, 100e3, 50e3)
+        mag = blocks.ComplexToMag()
+        m = Meter()
+        g.external_input(lpf)
+        g.connect(lpf, mag)
+        g.connect(mag, m)
+        tap = g.tap(m, name="o")
+        r = g.compile(frame_size=lpf.quantum * 4, steps_per_dispatch=k)
+        return r, tap, lpf.quantum * 4
+
+    rng = np.random.default_rng(9)
+    r1, t1, frame = build(1)
+    r6, t6, _ = build(6)
+    x = (rng.standard_normal(6 * frame)
+         + 1j * rng.standard_normal(6 * frame)).astype(np.complex64)
+    peaks1, peaks6 = [], []
+    r1._msg_handlers.setdefault("Meter.peak", []).append(
+        lambda v: peaks1.append(float(v)))
+    r6._msg_handlers.setdefault("Meter.peak", []).append(
+        lambda v: peaks6.append(float(v)))
+    seq = np.concatenate([
+        np.asarray(r1.step(x[i * frame:(i + 1) * frame])[t1])
+        for i in range(6)])
+    got = np.asarray(r6.step(x.reshape(6, frame))[t6]).reshape(-1)
+    np.testing.assert_array_equal(got, seq)
+    assert len(peaks6) == 6
+    np.testing.assert_array_equal(peaks6, peaks1)
