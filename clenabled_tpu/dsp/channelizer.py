@@ -347,10 +347,10 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
     @jax.jit
     def apply(state, frame):
         n = frame.re.shape[-1]
-        # tile 512 measured ~15% faster than 256 at 16ch/R=8 (round 3);
-        # cap tile·L at 1024 rows so the interleaved staging buffer stays
-        # ≤4 MB of VMEM at high oversampling factors
-        tile = min(512, 1024 // ell)
+        # tile 512 measured ~15% faster than 256 at 16ch/R=8, and 256
+        # ~10-15% faster than 128 at L=4/L=8 (round 3); cap tile·L at
+        # 2048 rows (≤8 MB interleaved staging buffer)
+        tile = min(512, 2048 // ell)
         while (n // 128) % tile:
             tile //= 2
         zr, zi = pallas_kernels.pfb_oversampled_fused(
