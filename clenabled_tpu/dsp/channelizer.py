@@ -301,9 +301,11 @@ def fused_oversampled_supported(num_channels: int, ninputs_per_iter: int,
     m, r = num_channels, ninputs_per_iter
     if r >= m or m % r or 128 % m:
         return False
+    # the tail/halo grows with the prototype (os_tail_len) but the halo
+    # must still fit the largest usable tile (tile·L ≤ 2048 rows)
     w = -(-ntaps // m)
     reach = (w - 1) * m + (m // r - 1) * r
-    return reach // 128 + 2 <= pallas_kernels.OS_TAIL_LEN // 128
+    return reach // 128 + 2 <= min(512, 2048 // (m // r))
 
 
 def make_channelizer_fused_oversampled(taps, num_channels: int,
@@ -314,7 +316,8 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
     planar.PC frames, state = (tail_re, tail_im) of OS_TAIL_LEN samples.
 
     Output timing: the stream equals the XLA path's output for the input
-    delayed by OS_TAIL_LEN − ntaps + 1 samples (a fixed pipeline latency —
+    delayed by os_tail_len(M, R, ntaps) − ntaps + 1 samples (= OS_TAIL_LEN
+    for prototypes up to the default halo; a fixed pipeline latency —
     the kernel's carried tail is row-aligned, exactly like the flagship
     fx_correlate_streams_v2).  Frame lengths must be multiples of 1024 and
     of lcm(M, R·L); measured 16,500 Msps at 16ch/R=8/2^23 (round-3
@@ -331,9 +334,24 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
             f"ntaps={ntaps} (requires R | M, (128/M) % (M/R) == 0)")
     taps_np = np.asarray(taps_rm)
     ch_list = [int(c) for c in ch_map]
-    h = pallas_kernels.OS_TAIL_LEN
+    h = pallas_kernels.os_tail_len(m, r, ntaps)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # round-3 envelope: on the axon backend the remote Mosaic build
+    # crashes (tpu_compile_helper exit 1) for deep-prototype kernels —
+    # nq ≥ ~11 banded matmul groups (BENCH_TPU.md).  Fail early with a
+    # pointer at the XLA path instead of crashing mid-compile.
+    if not interpret:
+        from clenabled_tpu.runtime.device import is_axon
+
+        w = taps_np.shape[0]
+        nq = ((w - 1) * m + (m // r - 1) * r + 127) // 128 + 1
+        if is_axon() and nq > 8:
+            raise ValueError(
+                f"prototype reach needs nq={nq} banded-matmul groups; the "
+                f"axon backend's remote Mosaic build crashes above ~8 "
+                f"(round-3 envelope).  Use make_channelizer(..., "
+                f"planar=True) (XLA path) or a shorter prototype.")
 
     identity_map = ch_list == list(range(m))
 

@@ -748,7 +748,18 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
 # FFT, scale 1.0).
 # ---------------------------------------------------------------------------
 
-OS_TAIL_LEN = 8 * LANES  # carried-history samples (float32 path)
+OS_TAIL_LEN = 8 * LANES  # default carried-history samples (float32 path)
+
+
+def os_tail_len(m: int, r: int, ntaps: int) -> int:
+    """Carried-tail length for an oversampled-PFB config: the default
+    OS_TAIL_LEN (1024) unless the tap reach needs a deeper halo (round 3 —
+    production-size prototypes like 1600 taps at M=64 reach ~1.6k
+    samples).  Always a multiple of 128; the kernel derives its halo from
+    the tail arrays' length, so callers just size state with this."""
+    w = -(-ntaps // m)
+    reach = (w - 1) * m + (m // r - 1) * r
+    return max(OS_TAIL_LEN, (reach // LANES + 2) * LANES)
 
 
 def _pfb_os_constants(taps_rm, m: int, r: int, i_offset: int = 0):
@@ -953,8 +964,10 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
     Args:
       xr, xi: [n] float32, n a multiple of 128·tile_rows AND of r·L
         (L = m/r, so rotation phases stay call-invariant).
-      tail_r, tail_i: [OS_TAIL_LEN] float32 — previous frame's last samples
-        (zeros first call).
+      tail_r, tail_i: [os_tail_len(m, r, ntaps)] float32 — previous
+        frame's last samples (zeros first call).  The tail length sets
+        the kernel's halo depth (OS_TAIL_LEN default; deeper for long
+        prototypes).
       taps_rm: [W, m] branch-major prototype taps (ntaps = W·m).
       i_offset: global PHASE-GROUP offset (units of L output groups) for
         time-sharded callers.
@@ -975,18 +988,20 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
         raise ValueError("use the critical-sampled kernels for R == M")
     if LANES % m:
         raise ValueError(f"m must divide {LANES}")
-    halo = OS_TAIL_LEN // LANES
+    if tail_r.shape != tail_i.shape or tail_r.ndim != 1 \
+            or tail_r.shape[0] % LANES:
+        raise ValueError("tails must be 1-D, equal-length, multiple of 128")
+    halo = tail_r.shape[0] // LANES      # tail length sets the halo depth
     if n % (LANES * tile_rows):
         raise ValueError(
             f"frame length {n} must be a multiple of {LANES * tile_rows}")
     if (n // r) % ell:
         raise ValueError(f"output count {n // r} must be a multiple of {ell}")
-    if tail_r.shape != (OS_TAIL_LEN,) or tail_i.shape != (OS_TAIL_LEN,):
-        raise ValueError(f"tails must be [{OS_TAIL_LEN}]")
     reach = (w - 1) * m + (ell - 1) * r
     if reach // LANES + 2 > halo:
         raise ValueError(
-            f"tap reach (w={w}, m={m}, r={r}) exceeds the {halo}-row halo")
+            f"tap reach (w={w}, m={m}, r={r}) exceeds the {halo}-row halo "
+            f"— size state with os_tail_len(m, r, ntaps)")
     if tile_rows < halo:
         raise ValueError(f"tile_rows ({tile_rows}) must be >= {halo}")
     rows = n // LANES

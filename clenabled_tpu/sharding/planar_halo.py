@@ -183,7 +183,7 @@ def make_sharded_channelizer_fused_oversampled(taps, num_channels: int,
     import numpy as np
 
     taps_np = np.asarray(taps_rm)
-    h = pallas_kernels.OS_TAIL_LEN
+    h = pallas_kernels.os_tail_len(m, r, ntaps)
     ell = m // r
     d = mesh.shape[axis]
     perm = _ring_fwd(d)
@@ -207,7 +207,7 @@ def make_sharded_channelizer_fused_oversampled(taps, num_channels: int,
         recv_i = jax.lax.ppermute(x.im[-h:], axis, perm)
         tail_r = jnp.where(idx == 0, state[0][0], recv_r)
         tail_i = jnp.where(idx == 0, state[1][0], recv_i)
-        tile = min(512, 1024 // ell)
+        tile = min(512, 2048 // ell)
         while (n // 128) % tile:
             tile //= 2
         zr, zi = pallas_kernels.pfb_oversampled_fused(

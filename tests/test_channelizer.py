@@ -227,3 +227,45 @@ def test_fused_oversampled_generalized_lane_groups(m, r):
         want.append(np.asarray(y.re) + 1j * np.asarray(y.im))
     want = np.concatenate(want)
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+def test_fused_oversampled_deep_halo_long_prototype():
+    """Round 3: os_tail_len grows the carried tail for production-size
+    prototypes (25 taps/branch at M=64 reaches ~1.6k samples — past the
+    default 1024 halo).  Fused == XLA oracle on the deeper-lag stream."""
+    from clenabled_tpu.dsp import pallas_kernels, planar
+
+    m, r = 64, 16
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.04)  # long prototype
+    taps = np.concatenate([taps, np.zeros((-len(taps)) % m, np.float32)])
+    assert len(taps) > 1024  # past the default halo
+    h = pallas_kernels.os_tail_len(m, r, len(taps))
+    assert h > pallas_kernels.OS_TAIL_LEN
+    assert channelizer.fused_oversampled_supported(m, r, len(taps))
+    lag = h - len(taps) + 1
+    n = 4096
+    x = cplx(2 * n)
+    init_f, apply_f = channelizer.make_channelizer_fused_oversampled(
+        taps, m, r, list(range(m)), interpret=True)
+    st = init_f()
+    assert st[0].shape == (h,)
+    got = []
+    for i in range(2):
+        fr = planar.PC(np.real(x[i * n:(i + 1) * n]),
+                       np.imag(x[i * n:(i + 1) * n]))
+        st, y = apply_f(st, fr)
+        got.append(np.asarray(y.re) + 1j * np.asarray(y.im))
+    got = np.concatenate(got)
+    xd = np.concatenate([np.zeros(lag, np.complex64), x])[: 2 * n]
+    init_x, apply_x = channelizer.make_channelizer(taps, m, r,
+                                                   list(range(m)),
+                                                   planar=True)
+    sx = init_x()
+    want = []
+    for i in range(2):
+        fr = planar.PC(np.real(xd[i * n:(i + 1) * n]),
+                       np.imag(xd[i * n:(i + 1) * n]))
+        sx, y = apply_x(sx, fr)
+        want.append(np.asarray(y.re) + 1j * np.asarray(y.im))
+    want = np.concatenate(want)
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
