@@ -337,21 +337,9 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
     h = pallas_kernels.os_tail_len(m, r, ntaps)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    # round-3 envelope: on the axon backend the remote Mosaic build
-    # crashes (tpu_compile_helper exit 1) for deep-prototype kernels —
-    # nq ≥ ~11 banded matmul groups (BENCH_TPU.md).  Fail early with a
-    # pointer at the XLA path instead of crashing mid-compile.
-    if not interpret:
-        from clenabled_tpu.runtime.device import is_axon
-
-        w = taps_np.shape[0]
-        nq = ((w - 1) * m + (m // r - 1) * r + 127) // 128 + 1
-        if is_axon() and nq > 8:
-            raise ValueError(
-                f"prototype reach needs nq={nq} banded-matmul groups; the "
-                f"axon backend's remote Mosaic build crashes above ~8 "
-                f"(round-3 envelope).  Use make_channelizer(..., "
-                f"planar=True) (XLA path) or a shorter prototype.")
+    # deep prototypes (nq > 8 banded groups) automatically use the
+    # kernel's fori accumulation form — the fully-unrolled form crashes
+    # the axon backend's remote Mosaic build at nq ≥ ~11 (BENCH_TPU.md)
 
     identity_map = ch_list == list(range(m))
 

@@ -890,40 +890,76 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
 
     md = jnp.dtype(mxu_dtype)
     narrow = md != jnp.dtype(jnp.float32)
-    # operand loads hoisted OUT of the slot branches: inside pl.when they
-    # re-issue per branch and fence Mosaic's load scheduling
-    erv = [[er_ref[q, f].astype(md) if narrow else er_ref[q, f]
-            for f in range(ell)] for q in range(nq)]
-    eiv = [[ei_ref[q, f].astype(md) if narrow else ei_ref[q, f]
-            for f in range(ell)] for q in range(nq)]
+    unrolled = nq <= 8
+    if unrolled:
+        # operand loads hoisted OUT of the slot branches: inside pl.when
+        # they re-issue per branch and fence Mosaic's load scheduling
+        erv = [[er_ref[q, f].astype(md) if narrow else er_ref[q, f]
+                for f in range(ell)] for q in range(nq)]
+        eiv = [[ei_ref[q, f].astype(md) if narrow else ei_ref[q, f]
+                for f in range(ell)] for q in range(nq)]
     for s in range(2):                 # static slot unroll (see v2 kernel)
         @pl.when(slot == s)
         def _(s=s):
-            fr = scratch[s, 0][:, :]
-            fi = scratch[s, 1][:, :]
-            if narrow:
-                fr = fr.astype(md)
-                fi = fi.astype(md)
+            if unrolled:
+                fr = scratch[s, 0][:, :]
+                fi = scratch[s, 1][:, :]
+                if narrow:
+                    fr = fr.astype(md)
+                    fi = fi.astype(md)
             for f in range(ell):
-                zr = (jnp.dot(fr[0:tile_rows], erv[0][f],
-                              preferred_element_type=jnp.float32)
-                      - jnp.dot(fi[0:tile_rows], eiv[0][f],
-                                preferred_element_type=jnp.float32))
-                zi = (jnp.dot(fr[0:tile_rows], eiv[0][f],
-                              preferred_element_type=jnp.float32)
-                      + jnp.dot(fi[0:tile_rows], erv[0][f],
-                                preferred_element_type=jnp.float32))
-                for q in range(1, nq):
-                    sr = fr[q : q + tile_rows]
-                    si = fi[q : q + tile_rows]
-                    zr = (zr + jnp.dot(sr, erv[q][f],
-                                       preferred_element_type=jnp.float32)
-                          - jnp.dot(si, eiv[q][f],
+                if unrolled:
+                    zr = (jnp.dot(fr[0:tile_rows], erv[0][f],
+                                  preferred_element_type=jnp.float32)
+                          - jnp.dot(fi[0:tile_rows], eiv[0][f],
                                     preferred_element_type=jnp.float32))
-                    zi = (zi + jnp.dot(sr, eiv[q][f],
-                                       preferred_element_type=jnp.float32)
-                          + jnp.dot(si, erv[q][f],
+                    zi = (jnp.dot(fr[0:tile_rows], eiv[0][f],
+                                  preferred_element_type=jnp.float32)
+                          + jnp.dot(fi[0:tile_rows], erv[0][f],
                                     preferred_element_type=jnp.float32))
+                    for q in range(1, nq):
+                        sr = fr[q : q + tile_rows]
+                        si = fi[q : q + tile_rows]
+                        zr = (zr + jnp.dot(sr, erv[q][f],
+                                           preferred_element_type=jnp.float32)
+                              - jnp.dot(si, eiv[q][f],
+                                        preferred_element_type=jnp.float32))
+                        zi = (zi + jnp.dot(sr, eiv[q][f],
+                                           preferred_element_type=jnp.float32)
+                              + jnp.dot(si, erv[q][f],
+                                        preferred_element_type=jnp.float32))
+                else:
+                    # deep prototypes (nq > 8): fori over the banded
+                    # groups with dynamic ref loads.  ~30% slower than
+                    # the unrolled form at nq=8, but the unrolled kernel
+                    # crashes the axon backend's remote Mosaic build at
+                    # nq ≥ ~11 (round-3 envelope) — this form compiles
+                    # and runs at every depth probed (nq=17: 3,587 Msps)
+                    def body(q, z, s=s, f=f):
+                        zr, zi = z
+                        sr = scratch[s, 0, pl.ds(q, tile_rows), :]
+                        si = scratch[s, 1, pl.ds(q, tile_rows), :]
+                        if narrow:
+                            sr = sr.astype(md)
+                            si = si.astype(md)
+                        e_r = er_ref[q, f]
+                        e_i = ei_ref[q, f]
+                        if narrow:
+                            e_r = e_r.astype(md)
+                            e_i = e_i.astype(md)
+                        zr = (zr + jnp.dot(sr, e_r,
+                                           preferred_element_type=jnp.float32)
+                              - jnp.dot(si, e_i,
+                                        preferred_element_type=jnp.float32))
+                        zi = (zi + jnp.dot(sr, e_i,
+                                           preferred_element_type=jnp.float32)
+                              + jnp.dot(si, e_r,
+                                        preferred_element_type=jnp.float32))
+                        return (zr, zi)
+
+                    z0 = (jnp.zeros((tile_rows, LANES), jnp.float32),
+                          jnp.zeros((tile_rows, LANES), jnp.float32))
+                    zr, zi = jax.lax.fori_loop(0, nq, body, z0)
                 # strided sublane store: family f lands on rows f, f+L,
                 # f+2L, … of the slot's [tile_rows·L, 128] staging buffer —
                 # the tile's rows leave VMEM already in final stream order
