@@ -450,3 +450,42 @@ def test_sharded_costas_channels_matches_single_chip():
                                       np.asarray(o1.im))
         np.testing.assert_allclose(float(np.asarray(diag["residual"])[ch]),
                                    float(d1["residual"]), rtol=1e-6, atol=0)
+
+
+def test_sharded_fused_oversampled_deep_halo():
+    """Sharded fused OS-PFB with a deep (os_tail_len > default) halo:
+    ring-ppermute exchanges the longer tail; parity vs single-chip."""
+    import jax
+    from jax.sharding import Mesh
+
+    from clenabled_tpu.dsp import channelizer, firdes, pallas_kernels, planar
+    from clenabled_tpu.sharding import (
+        make_sharded_channelizer_fused_oversampled)
+
+    m, r = 64, 16
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.04)
+    taps = np.concatenate([taps, np.zeros((-len(taps)) % m, np.float32)])
+    assert pallas_kernels.os_tail_len(m, r, len(taps)) > \
+        pallas_kernels.OS_TAIL_LEN
+    d = 2
+    mesh = Mesh(np.array(jax.devices()[:d]), ("shard",))
+    local = 4096
+    n = d * local
+    rng = np.random.default_rng(8)
+    init_s, apply_s = make_sharded_channelizer_fused_oversampled(
+        taps, m, r, mesh)
+    init_1, apply_1 = channelizer.make_channelizer_fused_oversampled(
+        taps, m, r, list(range(m)), interpret=True)
+    st_s, st_1 = init_s(), init_1()
+    for frame in range(2):
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+        fr = planar.PC(np.real(x).astype(np.float32),
+                       np.imag(x).astype(np.float32))
+        st_s, out_s = apply_s(st_s, fr)
+        st_1, out_1 = apply_1(st_1, fr)
+        got = np.asarray(out_s.re) + 1j * np.asarray(out_s.im)
+        want = np.asarray(out_1.re) + 1j * np.asarray(out_1.im)
+        np.testing.assert_allclose(got.reshape(want.shape), want,
+                                   atol=1e-3 * max(1.0, np.abs(want).max()),
+                                   err_msg=f"frame {frame}")
