@@ -310,10 +310,11 @@ class PolyphaseChannelizer(Block):
         self.rate = Fraction(len(self.ch_map), ninputs_per_iter)
         self.planar = planar
         if fused and ninputs_per_iter < num_channels:
-            # oversampled fused Pallas kernel (planar frames only): 3.3×
-            # the XLA phase-split path; output stream equals the XLA one
-            # for an input delayed by OS_TAIL_LEN − ntaps + 1 samples
-            # (fixed pipeline latency, dsp.channelizer docstring)
+            # oversampled fused Pallas kernel (planar frames only):
+            # 4-30× the XLA phase-split path depending on prototype depth
+            # (BENCH_TPU.md); output stream equals the XLA one for an
+            # input delayed by os_tail_len(M, R, ntaps) − ntaps + 1
+            # samples (fixed pipeline latency, dsp.channelizer docstring)
             if not planar:
                 raise ValueError("fused oversampled channelizer is planar-only")
             if buf_items % 1024:

@@ -313,7 +313,8 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
                                        interpret: bool | None = None):
     """Streaming oversampled channelizer on the fused Pallas kernel
     (pallas_kernels.pfb_oversampled_fused): (init_state, apply) over
-    planar.PC frames, state = (tail_re, tail_im) of OS_TAIL_LEN samples.
+    planar.PC frames, state = (tail_re, tail_im) of os_tail_len(M, R,
+    ntaps) samples.
 
     Output timing: the stream equals the XLA path's output for the input
     delayed by os_tail_len(M, R, ntaps) − ntaps + 1 samples (= OS_TAIL_LEN

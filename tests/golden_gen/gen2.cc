@@ -190,6 +190,50 @@ static void gen_fir_short(const std::vector<gr_complex>& ctaps,
     }
 }
 
+// ---- remaining FIR variants (fff / ccf / fcc / ccc) -------------------
+static void gen_fir_float(const std::vector<float>& ftaps,
+                          const std::vector<gr_complex>& ctaps, int n) {
+    int nf = (int)ftaps.size(), nc = (int)ctaps.size();
+    {
+        fir_filter_fff f(1, ftaps);
+        lcg_reset(111);
+        std::vector<float> in(n + nf - 1);
+        for (auto& v : in) v = lcg();
+        std::vector<float> out(n);
+        f.filterN(out.data(), in.data(), n);
+        dump("fir_fff_in", in);
+        dump("fir_fff_out", out);
+    }
+    {
+        fir_filter_ccf f(2, ftaps);
+        lcg_reset(222);
+        std::vector<gr_complex> in(2 * n + nf - 1), out(n);
+        for (auto& v : in) { float re = lcg(); v = gr_complex(re, lcg()); }
+        f.filterNdec(out.data(), in.data(), n, 2);
+        dumpc("fir_ccf_in", in);
+        dumpc("fir_ccf_outdec2", out);
+    }
+    {
+        fir_filter_fcc f(1, ctaps);
+        lcg_reset(333);
+        std::vector<float> in(n + nc - 1);
+        for (auto& v : in) v = lcg();
+        std::vector<gr_complex> out(n);
+        f.filterN(out.data(), in.data(), n);
+        dump("fir_fcc_in", in);
+        dumpc("fir_fcc_out", out);
+    }
+    {
+        fir_filter_ccc f(1, ctaps);
+        lcg_reset(444);
+        std::vector<gr_complex> in(n + nc - 1), out(n);
+        for (auto& v : in) { float re = lcg(); v = gr_complex(re, lcg()); }
+        f.filterN(out.data(), in.data(), n);
+        dumpc("fir_ccc_in", in);
+        dumpc("fir_ccc_out", out);
+    }
+}
+
 int main() {
     printf("{\n");
     std::vector<float> lp = firdes::low_pass(1.0, 1e6, 100e3, 50e3);
@@ -202,6 +246,7 @@ int main() {
     std::vector<gr_complex> ctaps = firdes::complex_band_pass(
         1.0, 1e6, -100e3, 200e3, 50e3, firdes::WIN_HAMMING, 6.76);
     gen_fir_short(ctaps, lp, 128);
+    gen_fir_float(lp, ctaps, 128);
     printf("\"_end\": []\n}\n");
     return 0;
 }

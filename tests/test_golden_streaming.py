@@ -139,3 +139,39 @@ def test_fir_fsf_truncation_matches_reference_cpp():
     diffd = np.abs(gotdec.astype(np.int32) - wantdec.astype(np.int32))
     assert diffd.max() <= 1
     assert (diffd != 0).mean() < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Remaining FIR type variants (fff / ccf-dec / fcc / ccc) — the reference's
+# lib/fir_filter.cc via the same compiled-C++ oracle
+# ---------------------------------------------------------------------------
+
+def test_fir_float_variants_match_reference_cpp():
+    from clenabled_tpu.dsp import fir_filter, firdes
+
+    ftaps = firdes.low_pass(1.0, 1e6, 100e3, 50e3)
+    ctaps = firdes.complex_band_pass(1.0, 1e6, -100e3, 200e3, 50e3)
+
+    x = np.asarray(GOLDEN["fir_fff_in"], np.float32)
+    want = np.asarray(GOLDEN["fir_fff_out"], np.float32)
+    got = np.asarray(fir_filter.fir_filter(x, ftaps))
+    np.testing.assert_allclose(got, want, atol=3e-6 * np.abs(want).max(),
+                               rtol=0)
+
+    xc = _c("fir_ccf_in")
+    wantd = _c("fir_ccf_outdec2")
+    gotd = np.asarray(fir_filter.fir_filter(xc, ftaps, decimation=2))
+    np.testing.assert_allclose(gotd, wantd[: gotd.shape[0]],
+                               atol=3e-6 * np.abs(wantd).max(), rtol=0)
+
+    xf = np.asarray(GOLDEN["fir_fcc_in"], np.float32)
+    wantc = _c("fir_fcc_out")
+    gotc = np.asarray(fir_filter.fir_filter(xf, np.asarray(ctaps)))
+    np.testing.assert_allclose(gotc, wantc, atol=3e-6 * np.abs(wantc).max(),
+                               rtol=0)
+
+    xcc = _c("fir_ccc_in")
+    wantcc = _c("fir_ccc_out")
+    gotcc = np.asarray(fir_filter.fir_filter(xcc, np.asarray(ctaps)))
+    np.testing.assert_allclose(gotcc, wantcc,
+                               atol=3e-6 * np.abs(wantcc).max(), rtol=0)
