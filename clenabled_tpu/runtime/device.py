@@ -110,12 +110,17 @@ def device_info() -> list[dict]:
             "coords": getattr(d, "coords", None),
             "core_on_chip": getattr(d, "core_on_chip", None),
         }
-        try:
-            stats = d.memory_stats()
-            if stats:
-                info["bytes_limit"] = stats.get("bytes_limit")
-                info["bytes_in_use"] = stats.get("bytes_in_use")
-        except Exception:
-            pass
+        if not is_axon():
+            # memory_stats RPCs fail on the axon tunnel, and ANY failed
+            # axon call poisons the whole client session (round-3 job 235:
+            # clview ran first in a shared session and every later op got
+            # UNIMPLEMENTED) — don't even try there
+            try:
+                stats = d.memory_stats()
+                if stats:
+                    info["bytes_limit"] = stats.get("bytes_limit")
+                    info["bytes_in_use"] = stats.get("bytes_in_use")
+            except Exception:
+                pass
         out.append(info)
     return out
