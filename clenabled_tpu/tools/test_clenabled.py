@@ -37,6 +37,16 @@ def main() -> None:
     print(f"platform: {T.platform_banner()}   blocksize: {n}   "
           f"iterations: {it}")
 
+    if not args.planar:
+        from clenabled_tpu.runtime.device import is_axon
+
+        if is_axon():
+            # a single complex64 device_put poisons an axon session (the
+            # failure even surfaces one op LATER because puts are async) —
+            # auto-switch rather than strand the user
+            print("axon backend has no complex64: switching to --planar")
+            args.planar = True
+
     if args.planar:
         from clenabled_tpu.dsp import planar as pl_mod
 

@@ -37,6 +37,14 @@ def main() -> None:
     from clenabled_tpu.tools import _timing as T
     T.select_platform(args)
 
+    if not args.planar and not (args.stacked or args.int8):
+        from clenabled_tpu.runtime.device import is_axon
+
+        if is_axon():
+            print("axon backend has no complex64: switching to --planar")
+            args.planar = True
+
+
     import jax
     import numpy as np
 
