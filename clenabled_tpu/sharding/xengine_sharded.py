@@ -101,7 +101,7 @@ def make_sharded_xengine_stacked(num_inputs: int, num_channels: int,
                                  pipeline_integration: int = 0,
                                  compute_dtype=None, scale: float = 1.0):
     """Multi-chip stacked-Gram X-Engine: the single-matmul channel-major
-    engine (dsp.xengine.xengine_correlate_stacked — 92-114 TFLOP/s useful
+    engine (dsp.xengine.xengine_correlate_stacked — 124-149 TFLOP/s useful
     int8 per chip) over a station-sharded capture mesh.
 
     Capture is lane-sharded: each chip ingests its antennas' channelized
