@@ -143,3 +143,22 @@ def test_complex_filter_set_taps_preserves_complex():
     blk.set_taps2(taps2)
     assert np.iscomplexobj(blk.taps())
     np.testing.assert_allclose(blk.taps(), taps2.astype(np.complex64))
+
+
+def test_tools_auto_planar_on_axon(monkeypatch, capsys):
+    """Round-3 hardening: on the axon backend the CLI tools must switch to
+    their planar paths BEFORE any complex64 device_put (a single complex
+    put poisons the session, with the error surfacing asynchronously on a
+    later op).  Simulate axon and check the switch happens."""
+    import clenabled_tpu.runtime.device as dev
+    from clenabled_tpu.tools import test_clenabled as tool
+
+    monkeypatch.setattr(dev, "is_axon", lambda: True)
+    import sys as _sys
+
+    monkeypatch.setattr(_sys, "argv",
+                        ["test_clenabled", "--cpu", "--iterations", "2",
+                         "--baseline-only", "4096"])
+    tool.main()
+    out = capsys.readouterr().out
+    assert "switching to --planar" in out
