@@ -22,6 +22,14 @@ def main() -> None:
                     help="analysis windows per dispatch")
     ap.add_argument("--fft-batch", dest="fft_batch", type=int, default=64,
                     help="FFT vectors per dispatch for the FD correlator")
+    ap.add_argument("--block-api", dest="block_api", action="store_true",
+                    help="drive the FD correlator through the BLOCK layer "
+                    "(XCorrelateFFTVCF + Flowgraph.Runner) instead of the "
+                    "dsp functions — the reference's GR-scheduler shape")
+    ap.add_argument("--steps-per-dispatch", dest="steps_per_dispatch",
+                    default="auto",
+                    help="with --block-api: frames per device dispatch "
+                    "(int or 'auto'; the round-3 device-side lax.scan)")
     ap.add_argument("--iterations", type=int, default=100)
     args = ap.parse_args()
 
@@ -46,6 +54,10 @@ def main() -> None:
     it = args.iterations
     print(f"platform: {T.platform_banner()}   inputs: {k}   "
           f"signal_length: {n}   max_search: {args.maxsearch}")
+
+    if args.block_api:
+        _block_api_bench(args, T)
+        return
 
     b = max(1, args.batch)
     if not args.fftonly:
@@ -96,6 +108,64 @@ def main() -> None:
         total = n * k * b
         T.report(f"FD xcorr (fft_vcf, batch {b})", total, secs,
                  extra=f"{total * 8 / secs / 1e9:.2f} GB/s in")
+
+
+
+
+def _block_api_bench(args, T) -> None:
+    """FD correlator through the BLOCK layer: XCorrelateFFTVCF inside a
+    Flowgraph Runner, K frames per device dispatch (the round-3
+    steps_per_dispatch scan).  This is the reference's GR-scheduler shape:
+    its UHD example sustains 30 MSPS at this 8192-pt default
+    (examples/fft_xcorr_opencl_uhd2_30MSPS.grc)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clenabled_tpu import blocks
+    from clenabled_tpu.dsp import planar
+    from clenabled_tpu.streaming import Flowgraph
+
+    n = args.signal_length
+    k = args.num_inputs
+    spd = args.steps_per_dispatch
+    if spd != "auto":
+        spd = int(spd)
+    g = Flowgraph()
+    xc = blocks.XCorrelateFFTVCF(n, k, accumulate_frames=1)
+    for p in range(k):
+        g.external_input(xc, p)
+    g.tap(xc, name="corr")
+    r = g.compile(frame_size=n, steps_per_dispatch=spd)
+    kk = r.steps_per_dispatch
+    rng = np.random.default_rng(0)
+    shape = (kk, n) if kk > 1 else (n,)
+    feeds = tuple(
+        planar.PC(jnp.asarray(rng.standard_normal(shape).astype(np.float32)),
+                  jnp.asarray(rng.standard_normal(shape).astype(np.float32)))
+        for _ in range(k))
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32).ravel()[:8]))
+
+    out = r.step(*feeds)
+    sync(out)
+    it = max(4, args.iterations // 10)
+    t0 = time.perf_counter()
+    for _ in range(it):
+        out = r.step(*feeds)
+    sync(out)
+    t1 = time.perf_counter()
+    for _ in range(3 * it):
+        out = r.step(*feeds)
+    sync(out)
+    t2 = time.perf_counter()
+    per = ((t2 - t1) - (t1 - t0)) / (2 * it)
+    T.report(f"FD xcorr BLOCK API (K={kk})", kk * n, per,
+             extra=f"{kk * n * 8 * k / per / 1e9:.2f} GB/s in")
 
 
 if __name__ == "__main__":
