@@ -37,11 +37,30 @@ def main() -> None:
           f"block: {n}  streams: {streams}  shift: {args.fft_shift}  "
           f"window: {args.window}  dir: {'rev' if args.reverse else 'fwd'}")
 
-    xs = [jax.device_put(T.rand_complex(n, i)) for i in range(streams)]
+    from clenabled_tpu.runtime.device import is_axon
 
-    fn = jax.jit(lambda *ss: tuple(
-        dsp_fft.fft_stream(x, size, direction=direction, window=w,
-                           shift=args.fft_shift) for x in ss))
+    if is_axon():
+        # complex64 device_puts poison an axon session (async — the error
+        # surfaces on a later op); use the planar path there
+        print("axon backend has no complex64: using the planar path")
+        from clenabled_tpu.dsp import planar as pl_mod
+
+        xs = []
+        for i in range(streams):
+            xs.append(jax.device_put(T.rand_float(n, i)))
+            xs.append(jax.device_put(T.rand_float(n, 100 + i)))
+
+        fn = jax.jit(lambda *ss: tuple(
+            dsp_fft.fft_stream_planar(
+                pl_mod.PC(ss[2 * i], ss[2 * i + 1]), size,
+                direction=direction, window=w, shift=args.fft_shift)
+            for i in range(streams)))
+    else:
+        xs = [jax.device_put(T.rand_complex(n, i)) for i in range(streams)]
+
+        fn = jax.jit(lambda *ss: tuple(
+            dsp_fft.fft_stream(x, size, direction=direction, window=w,
+                               shift=args.fft_shift) for x in ss))
     secs = T.time_fn(fn, *xs, iterations=args.iterations)
     T.report(f"fft {size}", n * streams, secs,
              extra=f"{n * streams // size} transforms/call")

@@ -37,6 +37,14 @@ def main() -> None:
     elif args.dtype_int:
         mk = lambda s: np.arange(n, dtype=np.int32)
     else:
+        from clenabled_tpu.runtime.device import is_axon
+
+        if is_axon():
+            # complex64 puts poison an axon session (async error surfacing)
+            raise SystemExit(
+                "axon backend has no complex64 — run a float/int kernel "
+                "(--float/--int) or drive a planar (re, im) kernel "
+                "through the blocks API (Kernel2To1 with planar PC pairs)")
         mk = lambda s: T.rand_complex(n, s)
 
     inputs = [jax.device_put(mk(i)) for i in
