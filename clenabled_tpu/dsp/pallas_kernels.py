@@ -1084,8 +1084,8 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
     # decomposition at 16ch/R=8/2^23: kernel-only 0.56 ms; the previous
     # family-major layout's moveaxis cost +0.37 ms and its [n/r, m]
     # reshape +3.3 ms (16-lane-minor ~8× padded relayout) — the entire
-    # "3-4× off roof" gap.  In-kernel interleave: 0.97 ms total, 8,687
-    # Msps, bit-identical output.
+    # "3-4× off roof" gap.  In-kernel interleave: 0.51-0.60 ms total
+    # (14,000-16,500 Msps at tile 256-512), bit-identical output.
     if flat_output:
         # [rows, L, 128] — a free major-dim split, flat-identical to the
         # [n/r, m] group stream but 128-lane-minor.  Standalone
