@@ -25,6 +25,9 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 Gram operands, f32 accumulate (exact for "
                     "<=8-bit quantized streams)")
+    ap.add_argument("--no-pallas", dest="no_pallas", action="store_true",
+                    help="with --stacked/--int8: force the einsum path "
+                    "(A/B baseline for the round-3 Pallas Gram kernel)")
     ap.add_argument("--stacked", action="store_true",
                     help="single-matmul stacked Gram (channel-major; the "
                     "fastest path — operands cross HBM once)")
@@ -74,7 +77,8 @@ def main() -> None:
             zi = jax.device_put(q[1].astype(dt))
             scale = 1.0
         fn = jax.jit(lambda r, i2: xengine.xengine_correlate_stacked(
-            r, i2, npol=p, scale=scale))
+            r, i2, npol=p, scale=scale,
+            use_pallas=False if args.no_pallas else None))
         secs = T.time_fn(fn, zr, zi, iterations=it)
     elif args.channel_major:
         import jax.numpy as jnp
