@@ -99,7 +99,8 @@ def make_sharded_xengine_stacked(num_inputs: int, num_channels: int,
                                  output_format: int =
                                  dsp_xengine.CLXCORR_TRIANGULAR_ORDER,
                                  pipeline_integration: int = 0,
-                                 compute_dtype=None, scale: float = 1.0):
+                                 compute_dtype=None, scale: float = 1.0,
+                                 use_pallas: bool | None = None):
     """Multi-chip stacked-Gram X-Engine: the single-matmul channel-major
     engine (dsp.xengine.xengine_correlate_stacked — 124-149 TFLOP/s useful
     int8 per chip) over a station-sharded capture mesh.
@@ -135,7 +136,9 @@ def make_sharded_xengine_stacked(num_inputs: int, num_channels: int,
              in_specs=(((P(axis), P(axis)), P()),
                        (P(None, None, axis), P(None, None, axis))),
              out_specs=(((P(axis), P(axis)), P()),
-                        ((P(axis), P(axis)), P())))
+                        ((P(axis), P(axis)), P())),
+             check_vma=False)  # the per-shard Gram may route to the
+    # Pallas kernel (round 3), whose outputs carry no vma info
     def step(state, frames):
         (acc_re, acc_im), count = state
         zr_local, zi_local = frames            # [F, T, SP/D]
@@ -146,7 +149,8 @@ def make_sharded_xengine_stacked(num_inputs: int, num_channels: int,
                                     concat_axis=2, tiled=True)
         corr = dsp_xengine.xengine_correlate_stacked(
             zr_all, zi_all, npol=npol, output_format=output_format,
-            compute_dtype=compute_dtype, scale=scale)
+            compute_dtype=compute_dtype, scale=scale,
+            use_pallas=use_pallas)
         (acc_re, acc_im), count, (out_re, out_im), ready = \
             dsp_xengine._pipeline_emit(
                 (acc_re, acc_im), (corr.re, corr.im), count, pipe)

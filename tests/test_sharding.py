@@ -489,3 +489,35 @@ def test_sharded_fused_oversampled_deep_halo():
         np.testing.assert_allclose(got.reshape(want.shape), want,
                                    atol=1e-3 * max(1.0, np.abs(want).max()),
                                    err_msg=f"frame {frame}")
+
+
+def test_sharded_xengine_stacked_pallas_route():
+    """The sharded stacked X-Engine must support the round-3 Pallas Gram
+    kernel INSIDE its shard_map (on a real TPU mesh the auto-route picks
+    it whenever S·P is a multiple of 128) — forced here on the CPU mesh
+    via interpret mode; integer-exact vs the einsum route."""
+    import jax
+    from jax.sharding import Mesh
+
+    import jax.numpy as jnp
+
+    from clenabled_tpu.sharding import make_sharded_xengine_stacked
+
+    d = 2
+    mesh = Mesh(np.array(jax.devices()[:d]), ("shard",))
+    s, p, f, t = 64, 2, 4, 128   # S·P = 128 → pallas-eligible
+    rng = np.random.default_rng(6)
+    q = rng.integers(-31, 32, (2, f, t, s * p))
+    zr = jnp.asarray(q[0], jnp.int8)
+    zi = jnp.asarray(q[1], jnp.int8)
+
+    outs = {}
+    for up in (False, True):
+        init, apply = make_sharded_xengine_stacked(
+            s, f, p, t, mesh, scale=1.0, use_pallas=up)
+        st = init()
+        st, (out, ready) = apply(st, (zr, zi))
+        assert bool(np.asarray(ready))
+        outs[up] = (np.asarray(out.re), np.asarray(out.im))
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
