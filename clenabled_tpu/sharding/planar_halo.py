@@ -22,13 +22,31 @@ def _ring_fwd(n: int):
 
 
 def make_sharded_fft_filter_planar(taps, mesh: Mesh, axis: str = "shard",
-                                   decimation: int = 1):
-    """Planar overlap-add across time-shards with additive output-tail halo.
+                                   decimation: int = 1,
+                                   use_pallas: bool | None = None):
+    """Planar fast-convolution filter across time-shards.
 
     apply(state, x: PC[D·L]) → (state, y: PC); per-shard block must be a
-    multiple of the plan's nsamples and of ``decimation``.  State is a
-    pair of [D, ntaps-1] float arrays sharded over the axis.
-    """
+    multiple of the plan's quantum and of ``decimation``.
+
+    use_pallas (default auto: on for TPU backends when the fused
+    overlap-save kernel supports the tap count — the same auto-route as
+    the single-chip make_fft_filter_planar): per-shard fused Pallas OFS
+    with an INPUT-tail ring halo (shard j consumes shard j−1's last
+    tail_len samples; shard 0 the carried state), identical output
+    samples.  Otherwise the XLA overlap-add with the additive
+    output-tail halo."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from clenabled_tpu.dsp import pallas_kernels
+
+        try:
+            oplan = pallas_kernels.OfsPlan(taps)
+        except ValueError:
+            oplan = None
+        if oplan is not None:
+            return _make_sharded_ofs_pallas(oplan, mesh, axis, decimation)
     plan = dsp_ofa.plan_fft_filter(taps, decimation=1)
     k = plan.ntaps
     d = mesh.shape[axis]
@@ -276,6 +294,55 @@ def make_sharded_costas_channels(loop_bw: float, order: int, mesh: Mesh,
         return (nlag, ntail), out, diag
 
     def apply(state, x):
+        return step(state, x)
+
+    return init_state, apply
+
+
+def _make_sharded_ofs_pallas(oplan, mesh: Mesh, axis: str, decimation: int):
+    """Fused overlap-save Pallas filter per time-shard with an input-tail
+    ring halo (the round-3 pattern shared with the sharded fused OS-PFB)."""
+    from clenabled_tpu.dsp import fft_filter as dsp_ff
+    from clenabled_tpu.dsp import pallas_kernels
+
+    oplan.decimation = decimation
+    tl = oplan.tail_len
+    quantum = dsp_ff.frame_quantum(oplan)
+    d = mesh.shape[axis]
+    perm = _ring_fwd(d)
+    interpret = jax.default_backend() == "cpu"
+
+    def init_state():
+        z = jnp.zeros((d, tl), jnp.float32)
+        return (z, jnp.zeros_like(z))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=((P(axis, None), P(axis, None)),
+                       planar.PC(P(axis), P(axis))),
+             out_specs=((P(axis, None), P(axis, None)),
+                        planar.PC(P(axis), P(axis))),
+             check_vma=False)  # pallas_call outputs carry no vma info
+    def step(state, x):
+        idx = jax.lax.axis_index(axis)
+        recv_r = jax.lax.ppermute(x.re[-tl:], axis, perm)
+        recv_i = jax.lax.ppermute(x.im[-tl:], axis, perm)
+        tail_r = jnp.where(idx == 0, state[0][0], recv_r)
+        tail_i = jnp.where(idx == 0, state[1][0], recv_i)
+        yr, yi = pallas_kernels.ofs_filter_planar(
+            x.re, x.im, tail_r, tail_i, oplan, interpret=interpret)
+        if decimation > 1:
+            yr, yi = yr[::decimation], yi[::decimation]
+        new_state = (jnp.where(idx == 0, recv_r, state[0][0])[None],
+                     jnp.where(idx == 0, recv_i, state[1][0])[None])
+        return new_state, planar.PC(yr, yi)
+
+    def apply(state, x):
+        local = x.re.shape[-1] // d
+        if local % quantum or local % decimation:
+            raise ValueError(
+                f"per-shard block {local} must be a multiple of the fused "
+                f"kernel quantum {quantum} and decimation={decimation}")
         return step(state, x)
 
     return init_state, apply

@@ -521,3 +521,48 @@ def test_sharded_xengine_stacked_pallas_route():
         outs[up] = (np.asarray(out.re), np.asarray(out.im))
     np.testing.assert_array_equal(outs[True][0], outs[False][0])
     np.testing.assert_array_equal(outs[True][1], outs[False][1])
+
+
+def test_sharded_ofs_pallas_matches_xla_overlap_add():
+    """Round 3: the sharded planar filter can route per-shard work through
+    the fused Pallas OFS kernel (input-tail ring halo) — identical output
+    samples to the XLA overlap-add sharded path across frames, for
+    decimation 1 and 2."""
+    import jax
+    from jax.sharding import Mesh
+
+    from clenabled_tpu.dsp import firdes, planar
+    from clenabled_tpu.sharding import make_sharded_fft_filter_planar
+
+    taps = firdes.low_pass(1.0, 1e6, 100e3, 50e3)
+    d = 4
+    mesh = Mesh(np.array(jax.devices()[:d]), ("shard",))
+    rng = np.random.default_rng(10)
+    for decim in (1, 2):
+        init_p, apply_p = make_sharded_fft_filter_planar(
+            taps, mesh, decimation=decim, use_pallas=True)
+        init_x, apply_x = make_sharded_fft_filter_planar(
+            taps, mesh, decimation=decim, use_pallas=False)
+        # per-shard block: common multiple of both paths' quanta
+        from clenabled_tpu.dsp import fft_filter, pallas_kernels
+
+        oplan = pallas_kernels.OfsPlan(taps)
+        oplan.decimation = decim
+        import math
+        local = math.lcm(fft_filter.frame_quantum(oplan),
+                         fft_filter.plan_fft_filter(taps).nsamples, decim)
+        local *= max(1, 2048 // local)
+        n = d * local
+        sp, sx = init_p(), init_x()
+        for frame in range(2):
+            x = rng.standard_normal(n).astype(np.float32)
+            xi = rng.standard_normal(n).astype(np.float32)
+            fr = planar.PC(x, xi)
+            sp, yp = apply_p(sp, fr)
+            sx, yx = apply_x(sx, fr)
+            np.testing.assert_allclose(
+                np.asarray(yp.re), np.asarray(yx.re), atol=2e-4,
+                err_msg=f"decim {decim} frame {frame}")
+            np.testing.assert_allclose(
+                np.asarray(yp.im), np.asarray(yx.im), atol=2e-4,
+                err_msg=f"decim {decim} frame {frame}")
