@@ -1294,20 +1294,27 @@ def _ofs_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, afr, afi, d1r, d1i, twr,
                 for p in range(2):
                     scratch[s, p, win:win_pad, :] = z
 
-    @pl.when(i + 1 < num)
-    def _():
-        for p in range(2):
-            copy(p, i + 1, 1 - slot, first=False).start()
+    # single-tile grids must not even EMIT the prefetch/wait paths: their
+    # slices index past the input and fail statically (interpret-mode
+    # discharge and Mosaic both check shapes on untaken branches) — the
+    # same guard as the OS-PFB kernel's `multi`
+    multi = not isinstance(num, int) or num > 1
+    if multi:
+        @pl.when(i + 1 < num)
+        def _():
+            for p in range(2):
+                copy(p, i + 1, 1 - slot, first=False).start()
 
     @pl.when(i == 0)
     def _():
         for p in range(2):
             copy(p, 0, 0, first=True).wait()
 
-    @pl.when(i > 0)
-    def _():
-        for p in range(2):
-            copy(p, i, slot, first=False).wait()
+    if multi:
+        @pl.when(i > 0)
+        def _():
+            for p in range(2):
+                copy(p, i, slot, first=False).wait()
 
     def cdot(ar, ai, br, bi):
         return (jnp.dot(ar, br, preferred_element_type=jnp.float32)

@@ -66,3 +66,28 @@ def test_planar_fir_pallas_streaming():
         yr, yi = y.re, y.im
         np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
                                    np.asarray(yc), rtol=1e-4, atol=1e-4)
+
+
+def test_ofs_single_quantum_frame():
+    """Round-3 bug fix: a frame of EXACTLY one kernel quantum (single-tile
+    grid) used to fail — the untaken prefetch branch's slice indexed past
+    the input and both interpret-mode discharge and Mosaic check untaken
+    branches statically.  Must now run and match the convolution."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import fft_filter as ff
+    from clenabled_tpu.dsp import firdes, pallas_kernels as pk
+
+    taps = firdes.low_pass(1.0, 1e6, 100e3, 20e3)
+    plan = pk.OfsPlan(taps)
+    plan.decimation = 1
+    q = ff.frame_quantum(plan)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(q).astype(np.float32)
+    xi = rng.standard_normal(q).astype(np.float32)
+    tr = jnp.zeros((plan.tail_len,), jnp.float32)
+    yr, yi = pk.ofs_filter_planar(jnp.asarray(x), jnp.asarray(xi), tr, tr,
+                                  plan, interpret=True)
+    want = np.convolve(x + 1j * xi, taps)[:q]
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    np.testing.assert_allclose(got, want, atol=1e-4)
