@@ -290,12 +290,24 @@ def polyphase_channelize(x, taps, num_channels: int, ninputs_per_iter: int,
                        ninputs_per_iter=ninputs_per_iter, ntaps=ntaps)
 
 
+def _next_pow2(v: int) -> int:
+    p = 1
+    while p < v:
+        p *= 2
+    return p
+
+
 def fused_oversampled_supported(num_channels: int, ninputs_per_iter: int,
                                 ntaps: int) -> bool:
     """Whether the fused Pallas oversampled kernel covers this config
     (R | M, M | 128, and the tap reach fits the carried-tail halo.
     Round 3 removed the old (128/M) % L restriction — the phase-group
-    interleave generalizes, see pallas_kernels._pfb_os_constants)."""
+    interleave generalizes, see pallas_kernels._pfb_os_constants).
+
+    Note: deep prototypes also imply a MINIMUM frame length — the tile
+    must stay >= the halo (os_tail_len/128 rows) while dividing n/128,
+    so frames must be multiples of 128 * next_pow2(halo_rows); apply()
+    raises a sizing message otherwise."""
     from clenabled_tpu.dsp import pallas_kernels
 
     m, r = num_channels, ninputs_per_iter
@@ -332,7 +344,9 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
     if not fused_oversampled_supported(m, r, ntaps):
         raise ValueError(
             f"fused oversampled kernel does not support M={m}, R={r}, "
-            f"ntaps={ntaps} (requires R | M, (128/M) % (M/R) == 0)")
+            f"ntaps={ntaps} (requires R | M, M | 128, and the tap reach "
+            f"to fit the largest tile: reach//128 + 2 <= min(512, "
+            f"2048//(M/R)))")
     taps_np = np.asarray(taps_rm)
     ch_list = [int(c) for c in ch_map]
     h = pallas_kernels.os_tail_len(m, r, ntaps)
@@ -358,7 +372,17 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
         # ~10-15% faster than 128 at L=4/L=8 (round 3); cap tile·L at
         # 2048 rows (≤8 MB interleaved staging buffer)
         tile = min(512, 2048 // ell)
+        halo_rows = h // 128
         while (n // 128) % tile:
+            if tile // 2 < halo_rows:
+                # the kernel needs tile_rows >= halo; the smallest frame
+                # that keeps a halo-sized tile is 128·halo_rows rounded to
+                # the frame-divisibility rule
+                raise ValueError(
+                    f"frame length {n} cannot be tiled for M={m}, R={r}: "
+                    f"the {halo_rows}-row halo needs n/128 divisible by a "
+                    f"tile >= {halo_rows} (use a frame length that is a "
+                    f"multiple of {128 * _next_pow2(halo_rows)})")
             tile //= 2
         zr, zi = pallas_kernels.pfb_oversampled_fused(
             frame.re, frame.im, state[0], state[1], taps_np, m, r,

@@ -257,8 +257,8 @@ def make_sharded_costas_channels(loop_bw: float, order: int, mesh: Mesh,
     hot path, the natural multi-chip shape for per-sample feedback DSP.
 
     apply(state, x: PC[C, n]) → (state, out: PC[C, n], diag) with diag
-    arrays per channel ("residual", "exact", "branch_hops").  C must be a
-    multiple of the mesh axis size.
+    arrays per channel ("residual", "exact", "branch_hops", "fell_back").
+    C must be a multiple of the mesh axis size.
     """
     from clenabled_tpu.dsp import demod
 

@@ -297,3 +297,40 @@ def test_pallas_gram_stacked_block_triangular_sp256():
                                                 output_format=fmt)
         np.testing.assert_array_equal(np.asarray(got.re), np.asarray(ref.re))
         np.testing.assert_array_equal(np.asarray(got.im), np.asarray(ref.im))
+
+
+def _gram_ref_int(zr, zi):
+    """NumPy int64 oracle for xengine_gram_stacked: a = zr·zrᵀ + zi·ziᵀ,
+    b = zi·zrᵀ, accumulated over T per channel."""
+    zr = np.asarray(zr, np.int64)
+    zi = np.asarray(zi, np.int64)
+    a = np.einsum("ftk,ftl->fkl", zr, zr) + np.einsum("ftk,ftl->fkl", zi, zi)
+    b = np.einsum("ftk,ftl->fkl", zi, zr)
+    return a, b
+
+
+@pytest.mark.parametrize("t,t_tile,sp", [
+    (192, 64, 128),   # odd nt=3: global-index slot parity across channels
+    (256, 64, 128),   # even nt=4: multi-tile accumulation
+    (192, 64, 256),   # kb=2 block-triangular + multi-tile + odd nt
+])
+def test_pallas_gram_stacked_multitile_exact(t, t_tile, sp):
+    """Regression for the multi-tile path of xengine_gram_stacked: the
+    cross-channel prefetch and double-buffer slot parity follow the GLOBAL
+    grid index (fch*nt + it) — the round-3 OS-PFB bug class.  The suite's
+    other Gram tests use t<=256 (t_tile clamps to t, nt=1); this pins
+    nt>1, odd nt, and the kb=2 schedule, integer-exact in interpret mode."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import pallas_kernels
+
+    rng = np.random.default_rng(11)
+    f = 3
+    q = rng.integers(-63, 64, (2, f, t, sp))
+    zr = jnp.asarray(q[0], jnp.int8)
+    zi = jnp.asarray(q[1], jnp.int8)
+    a, b = pallas_kernels.xengine_gram_stacked(zr, zi, t_tile=t_tile,
+                                               interpret=True)
+    ra, rb = _gram_ref_int(q[0], q[1])
+    np.testing.assert_array_equal(np.asarray(a, np.int64), ra)
+    np.testing.assert_array_equal(np.asarray(b, np.int64), rb)
