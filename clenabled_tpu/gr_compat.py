@@ -62,7 +62,7 @@ def _sig_from_kinds(kinds, n_ports):
 
 
 def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
-         max_frames_pow2: int = 17):
+         max_frames_pow2: int = 17, batch_frames: int | str = "auto"):
     """Adapt a clenabled_tpu Block into a ``gr.basic_block``.
 
     Args:
@@ -75,6 +75,24 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
         message keys are dropped (GR requires ports registered up front).
       name: GR block name (default: the block's class name).
       max_frames_pow2: cap on the per-call frame bucket (2**k samples).
+      batch_frames: device-dispatch batching (round 4).  ``1`` = one
+        apply() per general_work call (the pre-round-4 behavior).
+        ``"auto"`` (default) / an int K enables BACKPRESSURE-ADAPTIVE
+        batching: when the scheduler's offers are at least one batch
+        frame (quantum·2^j, ≤ 2^13 samples), consumed frames accumulate
+        and ride ONE device dispatch per K frames via lax.scan — the
+        same device-side batching Runner.steps_per_dispatch does for
+        standalone flowgraphs (BENCH_TPU.md: 53 → 646 Msps at the
+        reference's 8192-pt frames).  When offers are smaller than a
+        batch frame (throttled/live sources, draining streams), pending
+        frames flush through a per-frame jit and the sub-frame offer
+        takes the original bucketed path — so latency-sensitive
+        trickling streams keep per-call behavior, and batching engages
+        exactly when the upstream is fast enough for throughput to
+        matter.  Messages are published per frame, in order, at
+        dispatch time.  At flowgraph termination up to K-1 consumed
+        frames can remain pending; call ``flush()`` (e.g. after
+        ``tb.wait()``) to force them through.
 
     Returns a gr.basic_block instance ready for ``tb.connect(...)``.
 
@@ -86,7 +104,8 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
     and output space — consuming only that much (trimming is
     contract-legal for a general block; GR re-offers the remainder next
     call).  The jit cache is then bounded by log2(max buffer size)
-    entries per block.
+    entries per block; the batch path adds at most two fixed-shape
+    entries (the K-frame scan and the single-frame flush).
     """
     from gnuradio import gr  # optional dependency, imported lazily
     import pmt
@@ -105,6 +124,21 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
     planar_mode = bool(getattr(block, "planar", False))
     rate = block.rate
     quantum = max(1, int(block.quantum))
+
+    # --- batch-dispatch sizing (round 4): batch frame bf = quantum·2^j
+    # capped at 2^13 samples (the reference's GR-buffer scale), K sized so
+    # one dispatch carries ~2^21 samples — the same rule as
+    # Flowgraph.compile(steps_per_dispatch="auto")
+    if n_in:
+        bf = quantum
+        while bf * 2 <= max(quantum, 1 << 13):
+            bf *= 2
+    else:
+        bf = int(getattr(block, "source_frame", None) or 1)
+    if batch_frames == "auto":
+        bk = max(1, min(64, (1 << 21) // max(1, bf)))
+    else:
+        bk = max(1, int(batch_frames))
 
     def to_device(x, sig_dtype):
         if planar_mode and np.issubdtype(sig_dtype, np.complexfloating):
@@ -128,6 +162,12 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
                 sym = pmt.intern(port)
                 self.message_port_register_out(sym)
                 self._msg_port_syms[port] = sym
+            # batch-dispatch state (bk > 1): pending input frames per port,
+            # output queue segments per port, lazily-built jits
+            self._pend = [[] for _ in range(n_in)]
+            self._outq = [[] for _ in range(max(1, n_out))]
+            self._scan = None
+            self._one = None
 
         def forecast(self, noutput_items, ninputs):
             need = int(math.ceil(noutput_items / float(rate))) if n_out else quantum
@@ -144,6 +184,11 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
                 self.message_port_pub(sym, pmt.to_pmt(as_np))
 
         def general_work(self, input_items, output_items):
+            if bk == 1:
+                return self._work_percall(input_items, output_items)
+            return self._work_batched(input_items, output_items)
+
+        def _work_percall(self, input_items, output_items):
             if n_in:
                 avail = min(len(x) for x in input_items)
                 frames = (avail // quantum) * quantum
@@ -179,5 +224,127 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
                 arr = _to_numpy(y).ravel()
                 o[:len(arr)] = arr.astype(o.dtype, copy=False)
             return nout
+
+        # ---- batched dispatch (round 4): accumulate bf-sample frames,
+        # run K per lax.scan device call, drain through an output queue.
+        # Engages only when the scheduler's offers reach one batch frame;
+        # trickling offers keep the per-call path (latency-preserving).
+
+        def _q_len(self):
+            return sum(len(a) for a in self._outq[0]) if self._outq else 0
+
+        def _emit(self, output_items):
+            if not n_out or not output_items or not self._outq:
+                return 0
+            space = min(len(o) for o in output_items)
+            emitted = 0
+            while emitted < space and self._outq[0]:
+                take = min(space - emitted, len(self._outq[0][0]))
+                for p, o in enumerate(output_items):
+                    seg = self._outq[p][0]
+                    o[emitted:emitted + take] = seg[:take].astype(
+                        o.dtype, copy=False)
+                    if take == len(seg):
+                        self._outq[p].pop(0)
+                    else:
+                        self._outq[p][0] = seg[take:]
+                emitted += take
+            return emitted
+
+        def _queue_outs(self, stacked_outs, k):
+            """Stacked [k, ...] device outputs → per-port queue segments."""
+            for p, y in enumerate(stacked_outs):
+                arr = _to_numpy(y)
+                self._outq[p].append(arr.reshape(k, -1).reshape(-1))
+
+        def _publish_stacked(self, msgs, k):
+            if not msgs or not self._msg_port_syms:
+                return
+            import jax
+
+            for j in range(k):
+                self._publish(jax.tree.map(lambda a, j=j: a[j], msgs))
+
+        def _scan_fn(self):
+            if self._scan is None:
+                import jax
+
+                blk = self._blk
+
+                def body(st, fr):
+                    st, outs, ms = blk.apply(st, [] if fr is None
+                                             else list(fr))
+                    return st, (tuple(outs), ms)
+
+                if n_in:
+                    self._scan = jax.jit(
+                        lambda st, xs: jax.lax.scan(body, st, xs))
+                else:
+                    self._scan = jax.jit(
+                        lambda st: jax.lax.scan(body, st, None, length=bk))
+            return self._scan
+
+        def _dispatch_group(self):
+            k = bk
+            xs = tuple(
+                to_device(np.stack(self._pend[p][:k]), s)
+                for p, s in zip(range(n_in), in_sig))
+            for p in range(n_in):
+                del self._pend[p][:k]
+            self._state, (outs, msgs) = self._scan_fn()(self._state, xs)
+            self._queue_outs(outs, k)
+            self._publish_stacked(msgs, k)
+
+        def flush(self):
+            """Force pending consumed-but-unprocessed frames through a
+            per-frame jit (call after tb.wait() to drain the tail)."""
+            if not n_in or not self._pend or not self._pend[0]:
+                return
+            if self._one is None:
+                import jax
+
+                blk = self._blk
+                self._one = jax.jit(lambda st, ins: blk.apply(st, ins))
+            while self._pend[0]:
+                ins = [to_device(self._pend[p].pop(0), s)
+                       for p, s in zip(range(n_in), in_sig)]
+                self._state, outs, msgs = self._one(self._state, ins)
+                self._queue_outs([y[None] if not isinstance(y, planar.PC)
+                                  else planar.PC(y.re[None], y.im[None])
+                                  for y in outs], 1)
+                self._publish(msgs)
+
+        def _work_batched(self, input_items, output_items):
+            if not n_in:
+                if block.source_frame is None:
+                    raise RuntimeError("source block needs source_frame")
+                if self._q_len() == 0:
+                    self._state, (outs, msgs) = self._scan_fn()(self._state)
+                    self._queue_outs(outs, bk)
+                    self._publish_stacked(msgs, bk)
+                return self._emit(output_items)
+            avail = min(len(x) for x in input_items)
+            nf = avail // bf
+            if nf > 0:
+                room = max(0, 2 * bk - len(self._pend[0]))
+                take = min(nf, room)
+                if take:
+                    for p, x in enumerate(input_items):
+                        for j in range(take):
+                            self._pend[p].append(
+                                np.ascontiguousarray(x[j * bf:(j + 1) * bf]))
+                    self.consume_each(take * bf)
+                cap = 2 * bk * max(1, int(bf * rate))
+                while len(self._pend[0]) >= bk and self._q_len() <= cap:
+                    self._dispatch_group()
+            else:
+                # trickle/drain: flush pending first; the sub-frame offer
+                # takes the per-call path once nothing is queued ahead of
+                # it (order preservation — GR re-offers next call)
+                if self._pend and self._pend[0]:
+                    self.flush()
+                elif self._q_len() == 0 and avail >= quantum:
+                    return self._work_percall(input_items, output_items)
+            return self._emit(output_items)
 
     return _TpuBlock()

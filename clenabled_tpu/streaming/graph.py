@@ -92,7 +92,7 @@ class Flowgraph:
 
     def compile(self, frame_size: int | None = 8192,
                 precision: str | None = None,
-                steps_per_dispatch: int | str = 1) -> "Runner":
+                steps_per_dispatch: int | str = "auto") -> "Runner":
         """Build the Runner.  precision: matmul precision for the whole
         jitted step ("float32" = exact f32 sums on TPU; None = backend
         default, a single bf16-operand MXU pass for f32 matmuls — see
@@ -107,16 +107,24 @@ class Flowgraph:
         messages gain a leading K axis).  Runner.run() accepts per-frame
         feed iterators regardless and batches them host-side.
 
-        ``steps_per_dispatch="auto"`` picks K so each dispatch carries
-        ~2^21 base-frame samples (clamped to [1, 64]) — the measured
-        device-bound regime on TPU (BENCH_TPU.md round 3: 8192-pt frames
-        go 53 → 646 Msps at K=64; 2^17 frames 202 → 1,500 at K=16)."""
+        ``steps_per_dispatch="auto"`` (the DEFAULT since round 4) picks K
+        so each dispatch carries ~2^21 base-frame samples (clamped to
+        [1, 64]) — the measured device-bound regime on TPU (BENCH_TPU.md
+        round 3: 8192-pt frames go 53 → 646 Msps at K=64; 2^17 frames
+        202 → 1,500 at K=16).  In auto mode ``Runner.step`` keeps exact
+        per-frame semantics for per-frame feeds (single-frame jit) and
+        uses the scanned dispatch only for stacked [K, ...] feeds or via
+        ``Runner.run`` — so defaulting to the fast path changes no
+        call-site behavior.  Pass an explicit int to pin K (step() then
+        REQUIRES stacked feeds, the pre-round-4 contract)."""
         order, step, frames, resolved = self._build(frame_size)
-        if steps_per_dispatch == "auto":
+        auto = steps_per_dispatch == "auto"
+        if auto:
             steps_per_dispatch = max(1, min(64, (1 << 21) // max(1, resolved)))
         return Runner(self, order, step, frames, resolved,
                       precision=precision,
-                      steps_per_dispatch=steps_per_dispatch)
+                      steps_per_dispatch=steps_per_dispatch,
+                      auto_dispatch=auto)
 
     def _resolve_frame_size(self, order, in_edges, ext_ports,
                             frame_size: int | None) -> int:
@@ -309,13 +317,15 @@ class Runner:
 
     def __init__(self, graph: Flowgraph, order: Sequence[Block],
                  step_fn: Callable, frames: dict, frame_size: int,
-                 precision: str | None = None, steps_per_dispatch: int = 1):
+                 precision: str | None = None, steps_per_dispatch: int = 1,
+                 auto_dispatch: bool = False):
         if steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
         self._graph = graph
         self._order = list(order)
         self._precision = precision
         self.steps_per_dispatch = steps_per_dispatch
+        self.auto_dispatch = auto_dispatch
         self._step = jax.jit(self._wrap(step_fn),
                              donate_argnums=_donate_state())
         self._step1 = None  # lazily-built single-frame step for remainders
@@ -355,17 +365,36 @@ class Runner:
         """Register a host callback for messages named '<block>.<port>'."""
         self._msg_handlers.setdefault(key, []).append(handler)
 
-    def step(self, *feeds) -> dict[str, jax.Array]:
+    def step(self, *feeds, stacked: bool | None = None) -> dict[str, jax.Array]:
         """Run one dispatch.  ``feeds`` are host arrays for the declared
-        external inputs — per-frame [frame_size] when steps_per_dispatch
-        is 1, stacked [K, frame_size] otherwise.  Returns tapped outputs
-        (device arrays, leading K axis when K > 1 — convert with
-        np.asarray when you need them on host)."""
+        external inputs.
+
+        With an EXPLICIT steps_per_dispatch=K > 1 the pre-round-4 contract
+        holds: feeds must be stacked [K, frame_size] and tapped outputs
+        carry a leading K axis.  In auto-dispatch mode (the compile()
+        default) per-frame [frame_size] feeds — and no-feed source graphs
+        — run through a dedicated single-frame jit with the original
+        per-frame semantics; stacked [K, ...] feeds take the scanned
+        K-frame dispatch.  Pass ``stacked=`` to override the shape-based
+        detection (relevant only for multi-dim per-frame feeds whose
+        leading axis happens to equal K)."""
         if len(feeds) != len(self._graph._external):
             raise ValueError(
                 f"expected {len(self._graph._external)} feeds, got {len(feeds)}"
             )
         k = self.steps_per_dispatch
+        if stacked is None:
+            if k == 1:
+                stacked = False
+            elif self.auto_dispatch:
+                arrs = [f.re if hasattr(f, "re") and hasattr(f, "im") else f
+                        for f in feeds]
+                stacked = bool(arrs) and all(
+                    np.ndim(a) >= 2 and np.shape(a)[0] == k for a in arrs)
+            else:
+                stacked = True
+        if not stacked:
+            return self._step_single(*feeds)
         for i, f in enumerate(feeds):
             arr = f.re if hasattr(f, "re") and hasattr(f, "im") else f
             if np.shape(arr)[-1] != self.frame_size:
@@ -373,12 +402,18 @@ class Runner:
                     f"feed {i} has {np.shape(arr)[-1]} samples, expected "
                     f"frame_size={self.frame_size}"
                 )
-            if k > 1 and np.shape(arr)[0] != k:
+            if np.shape(arr)[0] != k:
                 raise ValueError(
                     f"feed {i}: steps_per_dispatch={k} needs stacked "
                     f"[{k}, frame_size] feeds, got {np.shape(arr)}")
+        return self._step_multi(feeds)
+
+    def _step_multi(self, feeds: tuple) -> dict[str, jax.Array]:
+        """The scanned K-frame dispatch (no shape checks — step() and
+        run() validate)."""
         import time as _time
 
+        k = self.steps_per_dispatch
         t0 = _time.perf_counter()
         if self._precision is not None:
             # precision binds at TRACE time; wrapping every call keeps the
@@ -475,7 +510,7 @@ class Runner:
                 jax.tree.map(lambda *xs: jnp.stack(xs), *(g[i] for g in group))
                 for i in range(len(group[0])))
             group.clear()
-            results.append(self.step(*feeds))
+            results.append(self._step_multi(feeds))
 
         for i, feeds in enumerate(feeds_iter):
             if n_steps is not None and i >= n_steps:
@@ -491,8 +526,9 @@ class Runner:
         return results
 
     def _step_single(self, *feeds) -> dict:
-        """One frame through a dedicated single-frame jit (used for run()'s
-        sub-K remainder; state threading is shared with the scanned step)."""
+        """One frame through a dedicated single-frame jit (the per-frame
+        step() path in auto-dispatch mode and run()'s sub-K remainder;
+        state threading is shared with the scanned step)."""
         if self._step1 is None:
             self._step1 = jax.jit(self._step1_fn,
                                   donate_argnums=_donate_state())
@@ -510,6 +546,7 @@ class Runner:
         self.stats["steps"] += 1
         self.stats["wall_s"] += _time.perf_counter() - t0
         self.stats["samples"] += self.frame_size
+        self._debug_report(1)
         return tapped
 
     def reset(self) -> None:

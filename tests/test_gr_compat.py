@@ -265,6 +265,122 @@ def test_wrap_buckets_frames_to_pow2_quanta(fake_gr):
     assert len(seen_sizes - {0}) <= 4
 
 
+def _drive(blk, x, offer, out_space):
+    """Scheduler-sim loop: offer up to ``offer`` input samples and
+    ``out_space`` output samples per call until the stream drains."""
+    remaining = x
+    collected = []
+    idle = 0
+    while idle < 3:
+        chunk = remaining[:offer]
+        out = np.zeros(out_space, np.complex64)
+        n = blk.general_work([chunk], [out])
+        consumed = (blk.consumed[-1] if blk.consumed else 0)
+        blk.consumed.clear()
+        remaining = remaining[consumed:]
+        collected.append(out[:n])
+        idle = idle + 1 if (n == 0 and consumed == 0) else 0
+    if hasattr(blk, "flush"):
+        blk.flush()
+        out = np.zeros(out_space, np.complex64)
+        n = blk._emit([out])
+        collected.append(out[:n])
+    return np.concatenate(collected)
+
+
+def test_wrap_batched_matches_percall_stateful(fake_gr):
+    """Round-4 batching: with large scheduler offers the adapter runs K
+    frames per lax.scan dispatch; the emitted stream must equal the
+    per-call adapter's bit-for-bit for a STATEFUL block (filter tail
+    carried across the batch seams), including the flush() tail."""
+    from clenabled_tpu.blocks import FIRTapFilter
+    from clenabled_tpu.gr_compat import wrap
+
+    taps = np.array([0.25, 0.5, 0.25, 0.125], np.float32)
+    q = FIRTapFilter(1, taps, use_time=True).quantum
+
+    rng = np.random.default_rng(4)
+    n = 8192 * 12 + 3000          # awkward tail (not a frame multiple)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+
+    g_ref = wrap(FIRTapFilter(1, taps, use_time=True), batch_frames=1)
+    want = _drive(g_ref, x, offer=1 << 14, out_space=1 << 15)
+
+    g_bat = wrap(FIRTapFilter(1, taps, use_time=True), batch_frames=4)
+    got = _drive(g_bat, x, offer=1 << 14, out_space=1 << 15)
+
+    m = min(len(want), len(got))
+    assert m >= n - 8192            # batched path may hold < bf at the end
+    np.testing.assert_allclose(got[:m], want[:m], rtol=1e-5, atol=1e-6)
+
+
+def test_wrap_batched_trickle_keeps_percall_path(fake_gr):
+    """Small offers (live/throttled streams) must NOT accumulate latency:
+    the batched adapter falls back to the per-call path and produces in
+    the same call."""
+    from clenabled_tpu.blocks import MultiplyConst
+    from clenabled_tpu.gr_compat import wrap
+
+    blk = wrap(MultiplyConst(3.0), batch_frames="auto")
+    x = (np.arange(256) + 1j).astype(np.complex64)
+    out = np.zeros(256, np.complex64)
+    n = blk.general_work([x], [out])
+    assert n == 256                 # produced immediately, no deferral
+    np.testing.assert_allclose(out, 3.0 * x, rtol=1e-6)
+
+
+def test_wrap_batched_source_stays_phase_continuous(fake_gr):
+    from clenabled_tpu.blocks import SignalSource
+    from clenabled_tpu.gr_compat import wrap
+
+    blk = SignalSource(48000.0, 1, 1000.0, 1.0, frame_size=512)
+    g = wrap(blk, batch_frames=4)
+    got = []
+    for _ in range(6):
+        out = np.zeros(512, np.complex64)
+        n = g.general_work([], [out])
+        got.append(out[:n])
+    got = np.concatenate(got)
+    t = np.arange(len(got)) / 48000.0
+    want = np.exp(1j * 2 * np.pi * 1000.0 * t).astype(np.complex64)
+    np.testing.assert_allclose(got.real, want.real, atol=1e-4)
+
+
+def test_wrap_batched_sink_publishes_per_frame(fake_gr):
+    """A sink under batching publishes one message per frame, in stream
+    order, once a group dispatches."""
+    from fractions import Fraction
+
+    import jax.numpy as jnp
+
+    from clenabled_tpu.gr_compat import wrap
+    from clenabled_tpu.streaming.block import Block
+
+    class MeanSink(Block):
+        n_inputs, n_outputs = 1, 0
+        msg_ports = ("mean",)
+
+        def __init__(self):
+            super().__init__()
+            self.quantum = 1024
+            self.rate = Fraction(1)
+
+        def init_state(self):
+            return ()
+
+        def apply(self, state, ins):
+            return state, [], {"mean": jnp.mean(jnp.abs(ins[0]))}
+
+    g = wrap(MeanSink(), batch_frames=2)
+    bf = 8192                       # quantum 1024 → bucket 8192
+    x = np.concatenate([np.full(bf, v, np.complex64) for v in (1, 2, 3, 4)])
+    for i in range(4):
+        g.general_work([x[i * bf:(i + 1) * bf]], [])
+    means = [float(np.asarray(m[1][1])) for m in g.published]
+    assert means == [1.0, 2.0, 3.0, 4.0]
+
+
 def test_wrap_bucketing_respects_decimator_output_capacity(fake_gr):
     """pow2 bucketing + decimation: the bucket must still fit the output
     buffer GR offers, and consumed/produced counts stay consistent."""

@@ -193,3 +193,38 @@ def test_scan_with_multirate_graph_and_messages():
     np.testing.assert_array_equal(got, seq)
     assert len(peaks6) == 6
     np.testing.assert_array_equal(peaks6, peaks1)
+
+
+def test_default_auto_dispatch_contract():
+    """Round-4 default: compile() with no knobs is auto-dispatch.  step()
+    keeps exact per-frame semantics for per-frame feeds AND accepts
+    stacked [K, ...] feeds; run() batches per-frame iterators to K and
+    the emitted stream equals per-frame stepping bit-for-bit."""
+    rng = np.random.default_rng(9)
+    g1, lpf1, tap1 = _lpf_mag_graph()
+    frame = lpf1.quantum * 2
+    r1 = g1.compile(frame_size=frame)          # NO knobs
+    assert r1.auto_dispatch and r1.steps_per_dispatch >= 1
+    k = r1.steps_per_dispatch
+
+    nfr = 2 * k + 3                            # exercises the remainder path
+    x = (rng.standard_normal(nfr * frame)
+         + 1j * rng.standard_normal(nfr * frame)).astype(np.complex64)
+    frames = [x[i * frame:(i + 1) * frame] for i in range(nfr)]
+
+    # per-frame step() on the default runner = original semantics
+    seq = np.concatenate([np.asarray(r1.step(f)[tap1]) for f in frames])
+
+    # run() on a fresh identical runner batches internally
+    g2, _, tap2 = _lpf_mag_graph()
+    r2 = g2.compile(frame_size=frame)
+    outs = r2.run(iter([(f,) for f in frames]))
+    got = np.concatenate([np.asarray(o[tap2]).reshape(-1) for o in outs])
+    np.testing.assert_array_equal(got, seq)
+
+    # stacked feeds on the default runner take the scanned path
+    g3, _, tap3 = _lpf_mag_graph()
+    r3 = g3.compile(frame_size=frame)
+    stacked = np.stack(frames[:k])
+    out_k = np.asarray(r3.step(stacked)[tap3]).reshape(-1)
+    np.testing.assert_array_equal(out_k, seq[: out_k.size])
