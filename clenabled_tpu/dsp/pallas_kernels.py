@@ -205,7 +205,7 @@ def _fx_constants(taps_rm, m: int):
 def _fx_tile_math(i, num, read_group, hr_ref, m1_ref, m2_ref, m3_ref,
                   n1_ref, n2_ref, n3_ref, fd_out, xe_out, fd_acc, xe_acc, *,
                   tile_rows, w, a, m, fd_pairs, xe_pairs, karatsuba=False,
-                  mxu_dtype=jnp.float32, mq_ref=None):
+                  mxu_dtype=jnp.float32, mq_ref=None, read_group_dyn=None):
     """Shared per-tile math of the fused flagship kernels.
 
     read_group(gi) must return the [tile_rows + halo, 128] VMEM feed block
@@ -258,17 +258,38 @@ def _fx_tile_math(i, num, read_group, hr_ref, m1_ref, m2_ref, m3_ref,
         # (banded shift-and-scale matrices, see _fx_band_matrices) — one
         # operand cast per group replaces the roll/select/MAC VPU chain
         nq = mq_ref.shape[0]
-        mats = [to_md(mq_ref[q]) for q in range(nq)]
+        if nq <= 8 or read_group_dyn is None:
+            mats = [to_md(mq_ref[q]) for q in range(nq)]
 
-        def branch_sums_mm(gi):
-            sc = read_group(gi)
-            scm = sc if sc.dtype == md else sc.astype(md)
-            acc = jnp.dot(scm[0:tile_rows], mats[0],
-                          preferred_element_type=jnp.float32)
-            for q in range(1, nq):
-                acc = acc + jnp.dot(scm[q : q + tile_rows], mats[q],
-                                    preferred_element_type=jnp.float32)
-            return acc
+            def branch_sums_mm(gi):
+                sc = read_group(gi)
+                scm = sc if sc.dtype == md else sc.astype(md)
+                acc = jnp.dot(scm[0:tile_rows], mats[0],
+                              preferred_element_type=jnp.float32)
+                for q in range(1, nq):
+                    acc = acc + jnp.dot(scm[q : q + tile_rows], mats[q],
+                                        preferred_element_type=jnp.float32)
+                return acc
+        else:
+            # deep prototypes (nq > 8): fori over the banded groups with
+            # dynamic ref loads — the fully-unrolled form crashes the axon
+            # backend's remote Mosaic build at nq ≥ ~11, exactly as in the
+            # OS-PFB kernel (round-3 envelope); this form compiles and
+            # runs at every depth probed there
+            def branch_sums_mm(gi):
+                def body(q, acc):
+                    sl = read_group_dyn(gi, q)
+                    if sl.dtype != md:
+                        sl = sl.astype(md)
+                    mat = mq_ref[q]
+                    if mat.dtype != md:
+                        mat = mat.astype(md)
+                    return acc + jnp.dot(sl, mat,
+                                         preferred_element_type=jnp.float32)
+
+                return jax.lax.fori_loop(
+                    0, nq, body,
+                    jnp.zeros((tile_rows, LANES), jnp.float32))
 
         accs = [branch_sums_mm(gi) for gi in range(g)]
     else:
@@ -552,6 +573,9 @@ def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
     def make_read(s):
         return lambda gi: scratch[s, gi]
 
+    def make_read_dyn(s):
+        return lambda gi, q: scratch[s, gi, pl.ds(q, tile_rows), :]
+
     for s in range(2):
         @pl.when(slot == s)
         def _(s=s):
@@ -560,7 +584,8 @@ def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
                           fd_acc, xe_acc, tile_rows=tile_rows, w=w, a=a,
                           m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs,
                           karatsuba=karatsuba, mxu_dtype=mxu_dtype,
-                          mq_ref=mq_ref if branch_mxu else None)
+                          mq_ref=mq_ref if branch_mxu else None,
+                          read_group_dyn=make_read_dyn(s))
 
 
 FX_TAIL_LEN = 8 * LANES  # carried-history samples per stream (float32)
@@ -568,15 +593,30 @@ FX_TAIL_LEN = 8 * LANES  # carried-history samples per stream (float32)
 _HALO_ROWS = {"float32": 8, "bfloat16": 16, "int8": 32}
 
 
-def fx_tail_len(dtype) -> int:
+def fx_tail_len(dtype, m: int | None = None, ntaps: int | None = None) -> int:
     """Carried-tail samples per stream for fx_correlate_streams_v2 with the
-    given input dtype.  The halo row count is the dtype's VMEM sublane tile
-    (f32 8, bf16 16, i8 32) so every DMA slice stays tile-aligned."""
+    given input dtype.  The halo row count is at least the dtype's VMEM
+    sublane tile (f32 8, bf16 16, i8 32) so every DMA slice stays
+    tile-aligned, and — when the prototype (m, ntaps) is given — grows to
+    the next power of two covering the tap reach (round 4: the fixed-depth
+    ceiling removed, mirroring os_tail_len; power-of-two halos keep the
+    halo | tile_rows divisibility the kernel's DMA start hints rely on).
+    Callers with prototypes deeper than ~1 k samples MUST pass (m, ntaps)
+    and size their carried tails with the result — the kernel derives its
+    halo from the tail it is handed."""
     name = jnp.dtype(dtype).name
     if name not in _HALO_ROWS:
         raise ValueError(f"unsupported input dtype {name}; "
                          f"use float32/bfloat16/int8")
-    return _HALO_ROWS[name] * LANES
+    rows = _HALO_ROWS[name]
+    if ntaps is not None:
+        if m is None:
+            raise ValueError("pass both m and ntaps (or neither)")
+        w = -(-ntaps // m)
+        need = ((w - 1) * m) // LANES + 2
+        while rows < need:
+            rows *= 2
+    return rows * LANES
 
 
 def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
@@ -632,26 +672,34 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
     g = 2 * a
     w = taps_rm.shape[0]
     n = xr.shape[-1]
-    tail_len = fx_tail_len(xr.dtype)
+    # the tail the caller hands us SETS the halo depth (round 4 — like
+    # pfb_oversampled_fused): size it with fx_tail_len(dtype, m, ntaps)
+    tail_len = tail_r.shape[-1]
+    min_tail = fx_tail_len(xr.dtype)
     halo = tail_len // LANES
     if xr.shape != (a, n) or xi.shape != (a, n):
         raise ValueError(f"expected xr/xi of shape {(a, n)}")
     if xi.dtype != xr.dtype:
         raise ValueError("xr/xi dtypes must match")
-    if tail_r.shape != (a, tail_len) or tail_i.shape != (a, tail_len):
+    if (tail_r.shape != (a, tail_len) or tail_i.shape != (a, tail_len)
+            or tail_len % min_tail or halo & (halo - 1)):
         raise ValueError(
-            f"tails must be [{a}, {tail_len}] for dtype {xr.dtype}")
+            f"tails must be [{a}, fx_tail_len({xr.dtype}, m, ntaps)] "
+            f"(a power-of-two multiple of {min_tail}); got {tail_r.shape}")
     if tail_r.dtype != xr.dtype or tail_i.dtype != xr.dtype:
         raise ValueError("tail dtypes must match the frame dtype")
     if n % (LANES * tile_rows):
         raise ValueError(
             f"frame length {n} must be a multiple of {LANES * tile_rows}")
     if ((w - 1) * m) // LANES + 2 > halo:
-        raise ValueError(f"tap reach (w={w}, m={m}) exceeds the {halo}-row halo")
-    if tile_rows < halo:
         raise ValueError(
-            f"tile_rows ({tile_rows}) must be >= the {halo}-row halo "
-            f"(tile 1 reads frame rows [tile_rows - halo, ...))")
+            f"tap reach (w={w}, m={m}) exceeds the {halo}-row halo — size "
+            f"tails with fx_tail_len(dtype, m, ntaps)")
+    if tile_rows < halo or tile_rows % halo:
+        raise ValueError(
+            f"tile_rows ({tile_rows}) must be a multiple of the {halo}-row "
+            f"halo (tile 1 reads frame rows [tile_rows - halo, ...) and the "
+            f"DMA start hint needs halo | tile_rows)")
     out_rows = n // LANES
     xr3 = xr.reshape(a, out_rows, LANES)
     xi3 = xi.reshape(a, out_rows, LANES)

@@ -75,20 +75,25 @@ def make_fx_pipeline(cfg: FxPipelineConfig = FxPipelineConfig(),
 
 def make_fx_pipeline_planar(cfg: FxPipelineConfig = FxPipelineConfig(),
                             samp_rate: float = 100e6,
-                            use_pallas: bool | None = None):
+                            use_pallas: bool | None = None,
+                            proto_taps=None):
     """Planar-complex flagship (the TPU execution path — no complex64
     anywhere; see dsp.planar).  fn(xr, xi, hr, hi) → (fd_avg,
     xmat_re, xmat_im, new_hr, new_hi), all float32.
 
     use_pallas: run the channelizer front-end as the fused single-pass
     Pallas kernel (dsp.pallas_kernels).  Default: on for TPU platforms,
-    off for CPU."""
+    off for CPU.  proto_taps: override the channelizer prototype (as in
+    make_fx_pipeline_fused — any depth)."""
     from clenabled_tpu.dsp import planar
 
     a = cfg.num_antennas
     m = cfg.num_channels
-    proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
-                            samp_rate / (2 * m) * 0.2)
+    if proto_taps is not None:
+        proto = np.asarray(proto_taps, np.float32)
+    else:
+        proto = firdes.low_pass(1.0, samp_rate, samp_rate / (2 * m) * 0.8,
+                                samp_rate / (2 * m) * 0.2)
     proto = np.concatenate(
         [proto, np.zeros((-len(proto)) % m, np.float32)])
     taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
@@ -191,12 +196,19 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
     taps_rm, ntaps = dsp_chan._pfb_constants(proto, m, m)
     n = cfg.samples_per_step
     nout = n // m
-    big_h = pallas_kernels.fx_tail_len(in_dtype)  # carried tail per stream
+    # carried tail per stream — grows with the prototype (round 4: deep
+    # prototypes fused end-to-end, fx_tail_len(dtype, m, ntaps))
+    big_h = pallas_kernels.fx_tail_len(in_dtype, m, ntaps)
     tile_rows = 256
+    halo_rows = big_h // 128
+    while tile_rows < halo_rows:
+        tile_rows *= 2                # deep proto: tile must cover the halo
     while (n // 128) % tile_rows:
         tile_rows //= 2
-    if tile_rows < big_h // 128:
-        raise ValueError("samples_per_step too small for the ingest dtype")
+    if tile_rows < halo_rows:
+        raise ValueError(
+            f"samples_per_step too small for the {halo_rows}-row halo "
+            f"(needs n/128 divisible by a tile >= {halo_rows})")
 
     @jax.jit
     def fn(xr, xi, tr, ti):
