@@ -1529,6 +1529,21 @@ def _xengine_gram_kernel(zr_hbm, zi_hbm, out_a, out_b, w, acc, sems, *,
                 out_b[0, i, j] = acc[nbt + i * kb + j]
 
 
+def xengine_gram_stacked_blocks(zr, zi, t_tile: int = 4096,
+                                interpret: bool = False):
+    """The block-layout form of :func:`xengine_gram_stacked`: returns
+    (a_blk [F, nbt, 128, 128], b_blk [F, kb, kb, 128, 128], tri_blocks)
+    WITHOUT assembling full [F, SP, SP] matrices — consumers that only
+    need the triangular baseline order can gather straight from the
+    blocks (round 4: the XLA mirror-assembly epilogue measured 3.6 ms on
+    the k=4/F=128 shape, vs 5.0 ms for the whole kernel — see
+    BENCH_TPU.md).  a_blk holds the lower-triangle (i >= j) blocks of
+    a = zr·zrᵀ + zi·ziᵀ in tri_blocks order; b = zi·zrᵀ is the full
+    block grid with b_full[bi·128+ir, bj·128+ic] = b_blk[bi, bj, ir, ic].
+    """
+    return _xengine_gram_stacked_call(zr, zi, t_tile, interpret)
+
+
 def xengine_gram_stacked(zr, zi, t_tile: int = 4096,
                          interpret: bool = False):
     """Fused stacked-Gram X-Engine contraction (triangular-only compute).
@@ -1551,6 +1566,31 @@ def xengine_gram_stacked(zr, zi, t_tile: int = 4096,
     scaling and triangular extraction live in
     xengine.xengine_correlate_stacked.
     """
+    a_blk, b_blk, tri_blocks = _xengine_gram_stacked_call(
+        zr, zi, t_tile, interpret)
+    f, _, sp = zr.shape
+    kb = sp // LANES
+    if kb == 1:
+        return a_blk[:, 0], b_blk[:, 0, 0]
+    # assemble the full [F, SP, SP] matrices (XLA-side, one HBM copy):
+    # b is the complete block grid; a mirrors the lower triangle (gr is
+    # symmetric: gr[j,i] = gr[i,j]ᵀ)
+    b_full = jnp.transpose(b_blk, (0, 1, 3, 2, 4)).reshape(f, sp, sp)
+    idx = {ij: n for n, ij in enumerate(tri_blocks)}
+    rows = []
+    for i in range(kb):
+        cols = []
+        for j in range(kb):
+            if j <= i:
+                cols.append(a_blk[:, idx[(i, j)]])
+            else:
+                cols.append(jnp.swapaxes(a_blk[:, idx[(j, i)]], -1, -2))
+        rows.append(jnp.concatenate(cols, axis=-1))
+    a_full = jnp.concatenate(rows, axis=-2)
+    return a_full, b_full
+
+
+def _xengine_gram_stacked_call(zr, zi, t_tile: int, interpret: bool):
     f, t, sp = zr.shape
     if sp % LANES:
         raise ValueError(f"S·P must be a multiple of {LANES} (got {sp})")
@@ -1597,21 +1637,4 @@ def xengine_gram_stacked(zr, zi, t_tile: int = 4096,
         ),
         interpret=interpret,
     )(zr, zi)
-    if kb == 1:
-        return a_blk[:, 0], b_blk[:, 0, 0]
-    # assemble the full [F, SP, SP] matrices (XLA-side, one HBM copy):
-    # b is the complete block grid; a mirrors the lower triangle (gr is
-    # symmetric: gr[j,i] = gr[i,j]ᵀ)
-    b_full = jnp.transpose(b_blk, (0, 1, 3, 2, 4)).reshape(f, sp, sp)
-    idx = {ij: n for n, ij in enumerate(tri_blocks)}
-    rows = []
-    for i in range(kb):
-        cols = []
-        for j in range(kb):
-            if j <= i:
-                cols.append(a_blk[:, idx[(i, j)]])
-            else:
-                cols.append(jnp.swapaxes(a_blk[:, idx[(j, i)]], -1, -2))
-        rows.append(jnp.concatenate(cols, axis=-1))
-    a_full = jnp.concatenate(rows, axis=-2)
-    return a_full, b_full
+    return a_blk, b_blk, tri_blocks

@@ -305,8 +305,45 @@ def xengine_correlate_stacked(zr, zi, npol: int = 2,
     if use_pallas:
         from clenabled_tpu.dsp import pallas_kernels
 
-        a, b = pallas_kernels.xengine_gram_stacked(
-            zr, zi, interpret=jax.default_backend() == "cpu")
+        interp = jax.default_backend() == "cpu"
+        if output_format == CLXCORR_TRIANGULAR_ORDER:
+            # round 4: gather the triangular baselines STRAIGHT from the
+            # kernel's block layout — the full-matrix mirror assembly
+            # measured 3.6 ms on the k=4/F=128 shape vs 5.0 ms for the
+            # whole kernel (BENCH_TPU.md); gr is symmetric and
+            # gi = b − bᵀ, so every pick resolves to static flat indices
+            # into the lower-triangle a blocks / the full b block grid
+            a_blk, b_blk, tri_blocks = \
+                pallas_kernels.xengine_gram_stacked_blocks(
+                    zr, zi, interpret=interp)
+            kb = sp // 128
+            idx = {ij: n for n, ij in enumerate(tri_blocks)}
+            st = np.asarray(baseline_stations(s))
+            p0 = np.arange(npol).repeat(npol)
+            p1 = np.tile(np.arange(npol), npol)
+            rows = (st[:, 0:1] * npol + p0[None, :]).ravel()
+            cols = (st[:, 1:2] * npol + p1[None, :]).ravel()
+            br, ir = rows // 128, rows % 128
+            bc, ic = cols // 128, cols % 128
+            pa = np.array(
+                [(idx[(x, y)] * 128 + r) * 128 + c if x >= y
+                 else (idx[(y, x)] * 128 + c) * 128 + r
+                 for x, y, r, c in zip(br, bc, ir, ic)], np.int32)
+            pb = (((br * kb + bc) * 128 + ir) * 128 + ic).astype(np.int32)
+            pbt = (((bc * kb + br) * 128 + ic) * 128 + ir).astype(np.int32)
+            bf = b_blk.reshape(f, -1)
+            gr_t = jnp.take(a_blk.reshape(f, -1), jnp.asarray(pa), axis=1)
+            gi_t = (jnp.take(bf, jnp.asarray(pb), axis=1)
+                    - jnp.take(bf, jnp.asarray(pbt), axis=1))
+            gr_t = gr_t.astype(jnp.float32)
+            gi_t = gi_t.astype(jnp.float32)
+            if scale != 1.0:
+                gr_t = gr_t * jnp.float32(scale)
+                gi_t = gi_t * jnp.float32(scale)
+            nb = num_baselines(s)
+            return planar.PC(gr_t.reshape(f, nb, npol * npol),
+                             gi_t.reshape(f, nb, npol * npol))
+        a, b = pallas_kernels.xengine_gram_stacked(zr, zi, interpret=interp)
         gr = a.astype(jnp.float32)
         gi = (b - jnp.swapaxes(b, -1, -2)).astype(jnp.float32)
     else:

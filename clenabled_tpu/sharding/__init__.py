@@ -44,3 +44,7 @@ from clenabled_tpu.sharding.chain import (  # noqa: F401
     ShardedChain,
     make_sharded_quadrature_demod,
 )
+from clenabled_tpu.sharding.xcorr_sharded import (  # noqa: F401
+    make_sharded_td_xcorr,
+    make_sharded_fd_xcorr,
+)

