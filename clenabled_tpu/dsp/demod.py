@@ -42,17 +42,44 @@ def quadrature_demod(x, gain: float, last_sample=None):
     return y, x[..., -1:]
 
 
-def quadrature_demod_planar(x, gain: float, last_sample=None):
+def quadrature_demod_planar(x, gain: float, last_sample=None,
+                            use_pallas: bool | None = None):
     """Planar quadrature demod: x is a planar.PC frame; identical math
-    (gain·atan2 of x[i]·conj(x[i-1])), complex-free for TPU."""
+    (gain·atan2 of x[i]·conj(x[i-1])), complex-free for TPU.
+
+    Round-4 perf: the one-sample shift is computed on SLICED views with an
+    output-side concat instead of materializing shifted input copies —
+    measured 35 → 43 GSPS on TPU (BENCH_TPU.md; the input-side concat was
+    the elementwise table's only outlier).  On TPU backends, 1-D frames
+    whose length divides into 128·8-row tiles route to a fused Pallas
+    kernel (lane-roll shift + cross-tile scalar carry) that removes the
+    shift cost entirely; outputs equal to fp rounding (tests)."""
     from clenabled_tpu.dsp import planar
 
     if last_sample is None:
         last_sample = planar.PC(x.re[..., :1], x.im[..., :1])
-    pr = jnp.concatenate([last_sample.re, x.re[..., :-1]], axis=-1)
-    pi = jnp.concatenate([last_sample.im, x.im[..., :-1]], axis=-1)
-    prod = planar.mul_conj(x, planar.PC(pr, pi))
-    y = (jnp.float32(gain) * jnp.arctan2(prod.im, prod.re)).astype(jnp.float32)
+    n = x.re.shape[-1]
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and x.re.ndim == 1 and n % 1024 == 0)
+    if use_pallas:
+        from clenabled_tpu.dsp import pallas_kernels
+
+        y = pallas_kernels.qdemod_fused(
+            x.re, x.im, last_sample.re.reshape(()),
+            last_sample.im.reshape(()), gain,
+            interpret=jax.default_backend() == "cpu")
+        return y, planar.PC(x.re[..., -1:], x.im[..., -1:])
+    xr, xi = x.re, x.im
+    lr, li = last_sample.re, last_sample.im
+    pr_b, pi_b = xr[..., :-1], xi[..., :-1]
+    cr = xr[..., 1:] * pr_b + xi[..., 1:] * pi_b
+    ci = xi[..., 1:] * pr_b - xr[..., 1:] * pi_b
+    ybody = jnp.float32(gain) * jnp.arctan2(ci, cr)
+    c0r = xr[..., :1] * lr + xi[..., :1] * li
+    c0i = xi[..., :1] * lr - xr[..., :1] * li
+    y0 = jnp.float32(gain) * jnp.arctan2(c0i, c0r)
+    y = jnp.concatenate([y0, ybody], axis=-1).astype(jnp.float32)
     return y, planar.PC(x.re[..., -1:], x.im[..., -1:])
 
 

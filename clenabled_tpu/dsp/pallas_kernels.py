@@ -149,6 +149,78 @@ def fir_direct(x, taps, tile_rows: int = 256, interpret: bool = False):
     )(xp, taps_k).reshape(n)
 
 
+def _qdemod_kernel(last_ref, xr_ref, xi_ref, o_ref, carry, *, gain):
+    """Fused quadrature demod: y[n] = gain·atan2(im, re) of
+    x[n]·conj(x[n−1]).  The one-sample shift is a lane roll + row carry
+    in VMEM (the XLA concat-based shift materializes full shifted copies
+    — the elementwise table's only outlier, BENCH_TPU.md round 4); the
+    single sample crossing each tile boundary rides an SMEM scalar
+    (TPU grids run sequentially, so tile i always sees tile i−1's last
+    sample).  Reference: lib/clQuadratureDemod_impl.cc:108-181."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[0] = last_ref[0]
+        carry[1] = last_ref[1]
+
+    xr = xr_ref[:, :]
+    xi = xi_ref[:, :]
+    rows = xr.shape[0]
+    rr = pltpu.roll(xr, 1, 1)          # rr[r, λ] = xr[r, λ−1] (λ=0 wraps)
+    ri = pltpu.roll(xi, 1, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    top_r = jnp.full((1, LANES), carry[0], jnp.float32)
+    top_i = jnp.full((1, LANES), carry[1], jnp.float32)
+    dn_r = jnp.concatenate([top_r, rr[:-1]], axis=0)   # row r−1's wrap
+    dn_i = jnp.concatenate([top_i, ri[:-1]], axis=0)
+    pr = jnp.where(lane >= 1, rr, dn_r)
+    pi_ = jnp.where(lane >= 1, ri, dn_i)
+    cr = xr * pr + xi * pi_
+    ci = xi * pr - xr * pi_
+    o_ref[:, :] = jnp.float32(gain) * jnp.arctan2(ci, cr)
+    carry[0] = xr[rows - 1, LANES - 1]
+    carry[1] = xi[rows - 1, LANES - 1]
+
+
+def qdemod_fused(xr, xi, last_r, last_i, gain: float,
+                 tile_rows: int = 512, interpret: bool = False):
+    """Fused FM discriminator over a planar stream: xr/xi [n] float32
+    (n a multiple of 1024), last_r/last_i scalar carried samples (the
+    previous frame's last sample; reference set_history(2)).  Returns
+    y [n] float32 — equals demod.quadrature_demod_planar's XLA form to
+    fp rounding (fma contraction; tests/test_siggen_demod.py)."""
+    n = xr.shape[-1]
+    if n % LANES:
+        raise ValueError(f"frame length {n} must be a multiple of {LANES}")
+    rows = n // LANES
+    tile = min(tile_rows, rows)
+    while rows % tile:
+        tile //= 2
+    if tile < 8:
+        raise ValueError(f"frame length {n} needs rows divisible by a "
+                         f"tile of >= 8 rows (n multiple of 1024)")
+    last = jnp.stack([jnp.asarray(last_r, jnp.float32).reshape(()),
+                      jnp.asarray(last_i, jnp.float32).reshape(())])
+    y = pl.pallas_call(
+        partial(_qdemod_kernel, gain=float(gain)),
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n, bytes_accessed=12 * n, transcendentals=n),
+        interpret=interpret,
+    )(last, xr.reshape(rows, LANES).astype(jnp.float32),
+      xi.reshape(rows, LANES).astype(jnp.float32))
+    return y.reshape(n)
+
+
 def _fx_band_matrices(taps_rm, m: int):
     """Banded shift matrices M_q folding the ENTIRE polyphase branch stage
     into MXU matmuls: acc[r, λ] = Σ_c hr[c, λ]·flat[r·128 + λ + (w−1−c)·m]

@@ -122,3 +122,104 @@ def report(name: str, block_size: int, secs: float, extra: str = "") -> None:
     sps = block_size / secs
     print(f"{name:<28s} {sps/1e6:>12.3f} Msps   ({secs*1e6:8.1f} us/call"
           f"{', ' + extra if extra else ''})")
+
+
+def _strided_sum(out):
+    """Cheap reduction folding every output leaf into a scalar so no step
+    of a scanned measurement is dead code (a DCE'd step loses its DMAs
+    too — BENCH_TPU.md round-2 caution).  Strided: ~64 elements per leaf,
+    negligible extra HBM traffic."""
+    import jax
+    import jax.numpy as jnp
+
+    acc = jnp.float32(0)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if not hasattr(leaf, "ravel"):
+            continue
+        flat = leaf.astype(jnp.float32).ravel()
+        step = max(1, flat.shape[0] // 64)
+        acc = acc + jnp.sum(flat[::step])
+    return acc
+
+
+def time_stateful_scan(fn, state, *args, reps=64):
+    """Seconds per step with DEVICE-SIDE chained reps: one dispatch runs
+    ``reps`` steps via lax.scan (the carried state serializes them), so
+    the printed number excludes BOTH the sync RTT and the ~1 ms/call
+    tunnel dispatch cost — it is what a Runner at the compile() default
+    (steps_per_dispatch="auto") actually sustains.  A two-point slope
+    over scan lengths reps//4 and reps cancels the residual per-dispatch
+    constant."""
+    import jax
+    import jax.numpy as jnp
+
+    # args ride as jit PARAMETERS, not closure constants — closed-over
+    # device arrays inflate the remote-compile payload past the tunnel's
+    # size limit (HTTP 413, round-3 hazard)
+    def make(k):
+        def body(carry, _, a=()):
+            st, acc = carry
+            st2, out = fn(st, *a)
+            return (st2, acc + _strided_sum(out)), None
+
+        return jax.jit(lambda st, *a: jax.lax.scan(
+            lambda c, x: body(c, x, a), (st, jnp.float32(0)),
+            None, length=k))
+
+    k1 = max(1, reps // 4)
+    k2 = reps
+    f1, f2 = make(k1), make(k2)
+    _fence(f1(state, *args))
+    _fence(f2(state, *args))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fence(f1(state, *args))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _fence(f2(state, *args))
+        t2 = time.perf_counter() - t0
+        s = slope_per_call(t1, k1, t2, k2)
+        best = s if best is None else min(best, s)
+    return best
+
+
+def time_fn_scan(fn, *args, reps=64):
+    """time_stateful_scan for stateless kernels: steps are serialized by
+    folding the carried accumulator into the first input's first element
+    (×1e-30 — numerically invisible, but a real data dependency, so XLA
+    cannot hoist the loop-invariant computation out of the scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    def perturb(x, eps):
+        if hasattr(x, "re") and hasattr(x, "im"):       # planar.PC
+            return type(x)(x.re.at[..., 0].add(eps.astype(x.re.dtype)),
+                           x.im)
+        return x.at[..., 0].add(eps.astype(x.dtype))
+
+    def make(k):
+        def body(acc, _, a=()):
+            eps = acc * jnp.float32(1e-30)
+            out = fn(perturb(a[0], eps), *a[1:])
+            return acc + _strided_sum(out), None
+
+        return jax.jit(lambda *a: jax.lax.scan(
+            lambda c, x: body(c, x, a), jnp.float32(0), None, length=k))
+
+    k1 = max(1, reps // 4)
+    k2 = reps
+    f1, f2 = make(k1), make(k2)
+    _fence(f1(*args))
+    _fence(f2(*args))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fence(f1(*args))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _fence(f2(*args))
+        t2 = time.perf_counter() - t0
+        s = slope_per_call(t1, k1, t2, k2)
+        best = s if best is None else min(best, s)
+    return best

@@ -14,6 +14,11 @@ def main() -> None:
     ap.add_argument("blocksize", nargs="?", type=int, default=8192)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iterations", type=int, default=200)
+    ap.add_argument("--percall", action="store_true",
+                    help="time one device dispatch per call (the "
+                         "reference's original timing style); default is "
+                         "device-side chained reps (lax.scan), the number "
+                         "a Runner at the compile() default sustains")
     ap.add_argument("--testcostas", action="store_true",
                     help="include the (sequential) Costas loop")
     ap.add_argument("--planar", action="store_true",
@@ -34,8 +39,18 @@ def main() -> None:
 
     n = args.blocksize
     it = args.iterations
+    if args.percall:
+        tfn = lambda f, *a: T.time_fn(f, *a, iterations=it)
+        tst = lambda f, s, *a: T.time_stateful(f, s, *a, iterations=it)
+        mode = "per-call"
+    else:
+        reps = min(64, it)
+        tfn = lambda f, *a: T.time_fn_scan(f, *a, reps=reps)
+        tst = lambda f, s, *a: T.time_stateful_scan(f, s, *a, reps=reps)
+        mode = "scanned (device-side chained reps; --percall for the " \
+               "reference's per-dispatch style)"
     print(f"platform: {T.platform_banner()}   blocksize: {n}   "
-          f"iterations: {it}")
+          f"iterations: {it}   timing: {mode}")
 
     if not args.planar:
         from clenabled_tpu.runtime.device import is_axon
@@ -56,38 +71,29 @@ def main() -> None:
         bi = jax.device_put(T.rand_float(n, 12))
         f = jax.device_put(T.rand_float(n, 3) ** 2 + 0.1)
         g = jax.device_put(T.rand_float(n, 4) ** 2 + 0.1)
-        T.report("empty w/copy (baseline)", n, T.time_fn(
-            jax.jit(lambda x: x + 0), ar, iterations=it))
+        T.report("empty w/copy (baseline)", n, tfn(jax.jit(lambda x: x + 0), ar))
         if args.baseline_only:
             return
         PC = pl_mod.PC
-        T.report("multiply (cc planar)", n, T.time_fn(
-            jax.jit(lambda r, i, r2, i2: pl_mod.mul(PC(r, i), PC(r2, i2))),
-            ar, ai, br, bi, iterations=it))
-        T.report("multiply conjugate", n, T.time_fn(
-            jax.jit(lambda r, i, r2, i2: pl_mod.mul_conj(PC(r, i), PC(r2, i2))),
-            ar, ai, br, bi, iterations=it))
-        T.report("complex->mag", n, T.time_fn(
-            jax.jit(lambda r, i: pl_mod.pabs(PC(r, i))), ar, ai, iterations=it))
-        T.report("complex->arg", n, T.time_fn(
-            jax.jit(lambda r, i: jnp.arctan2(i, r)), ar, ai, iterations=it))
-        T.report("log10 (n,k)", n, T.time_fn(
-            jax.jit(lambda x: ew.log10(x, 10.0, 1.0)), f, iterations=it))
-        T.report("snr helper", n, T.time_fn(
-            jax.jit(lambda x, y: ew.snr_helper(x, y, 10.0)), f, g, iterations=it))
+        T.report("multiply (cc planar)", n, tfn(jax.jit(lambda r, i, r2, i2: pl_mod.mul(PC(r, i), PC(r2, i2))),
+            ar, ai, br, bi))
+        T.report("multiply conjugate", n, tfn(jax.jit(lambda r, i, r2, i2: pl_mod.mul_conj(PC(r, i), PC(r2, i2))),
+            ar, ai, br, bi))
+        T.report("complex->mag", n, tfn(jax.jit(lambda r, i: pl_mod.pabs(PC(r, i))), ar, ai))
+        T.report("complex->arg", n, tfn(jax.jit(lambda r, i: jnp.arctan2(i, r)), ar, ai))
+        T.report("log10 (n,k)", n, tfn(jax.jit(lambda x: ew.log10(x, 10.0, 1.0)), f))
+        T.report("snr helper", n, tfn(jax.jit(lambda x, y: ew.snr_helper(x, y, 10.0)), f, g))
         from clenabled_tpu.dsp import fft as dsp_fft_mod
         w2 = win.blackman_harris(2048)
-        T.report("fft 2048 fwd+win+shift", n, T.time_fn(
-            jax.jit(lambda r, i: dsp_fft_mod.fft_stream_planar(
+        T.report("fft 2048 fwd+win+shift", n, tfn(jax.jit(lambda r, i: dsp_fft_mod.fft_stream_planar(
                 PC(r, i), 2048, window=w2, shift=True)),
-            ar, ai, iterations=it))
+            ar, ai))
         qdp = jax.jit(lambda r, i: demod.quadrature_demod_planar(PC(r, i), 1.0))
-        T.report("quadrature demod", n, T.time_fn(qdp, ar, ai, iterations=it))
+        T.report("quadrature demod", n, tfn(qdp, ar, ai))
         if args.testcostas:
             run = demod.make_costas_loop_planar(0.02, 2)
-            T.report("costas loop (order 2)", n, T.time_stateful(
-                lambda st, r, i: run(st, PC(r, i)), demod.costas_init(),
-                ar, ai, iterations=max(5, it // 20)))
+            T.report("costas loop (order 2)", n, tst(lambda st, r, i: run(st, PC(r, i)), demod.costas_init(),
+                ar, ai))
         return
 
     a = jax.device_put(T.rand_complex(n, 1))
@@ -96,59 +102,46 @@ def main() -> None:
     g = jax.device_put(T.rand_float(n, 4) ** 2 + 0.1)
 
     copy = jax.jit(lambda x: x + 0)
-    T.report("empty w/copy (baseline)", n, T.time_fn(copy, a, iterations=it))
+    T.report("empty w/copy (baseline)", n, tfn(copy, a))
     if args.baseline_only:
         return
 
     mult = jax.jit(lambda x, y: ew.math_op(ew.MATHOP_MULTIPLY, x, y))
-    T.report("multiply (cc)", n, T.time_fn(mult, a, b, iterations=it))
-    T.report("add (cc)", n, T.time_fn(
-        jax.jit(lambda x, y: x + y), a, b, iterations=it))
-    T.report("multiply conjugate", n, T.time_fn(
-        jax.jit(ew.multiply_conjugate), a, b, iterations=it))
-    T.report("complex conjugate", n, T.time_fn(
-        jax.jit(ew.complex_conjugate), a, iterations=it))
-    T.report("multiply const", n, T.time_fn(
-        jax.jit(lambda x: ew.multiply_const(x, 2.0)), a, iterations=it))
-    T.report("complex->mag", n, T.time_fn(
-        jax.jit(ew.complex_to_mag), a, iterations=it))
-    T.report("complex->arg", n, T.time_fn(
-        jax.jit(ew.complex_to_arg), a, iterations=it))
-    T.report("complex->magphase", n, T.time_fn(
-        jax.jit(ew.complex_to_mag_phase), a, iterations=it))
-    T.report("magphase->complex", n, T.time_fn(
-        jax.jit(ew.mag_phase_to_complex), f, g, iterations=it))
-    T.report("log10 (n,k)", n, T.time_fn(
-        jax.jit(lambda x: ew.log10(x, 10.0, 1.0)), f, iterations=it))
-    T.report("snr helper", n, T.time_fn(
-        jax.jit(lambda x, y: ew.snr_helper(x, y, 10.0)), f, g, iterations=it))
+    T.report("multiply (cc)", n, tfn(mult, a, b))
+    T.report("add (cc)", n, tfn(jax.jit(lambda x, y: x + y), a, b))
+    T.report("multiply conjugate", n, tfn(jax.jit(ew.multiply_conjugate), a, b))
+    T.report("complex conjugate", n, tfn(jax.jit(ew.complex_conjugate), a))
+    T.report("multiply const", n, tfn(jax.jit(lambda x: ew.multiply_const(x, 2.0)), a))
+    T.report("complex->mag", n, tfn(jax.jit(ew.complex_to_mag), a))
+    T.report("complex->arg", n, tfn(jax.jit(ew.complex_to_arg), a))
+    T.report("complex->magphase", n, tfn(jax.jit(ew.complex_to_mag_phase), a))
+    T.report("magphase->complex", n, tfn(jax.jit(ew.mag_phase_to_complex), f, g))
+    T.report("log10 (n,k)", n, tfn(jax.jit(lambda x: ew.log10(x, 10.0, 1.0)), f))
+    T.report("snr helper", n, tfn(jax.jit(lambda x, y: ew.snr_helper(x, y, 10.0)), f, g))
 
     # signal source
     init, gen = siggen.make_signal_source(10e6, 1, 1e6, 1.0, n)
     st = init()
-    T.report("signal source", n, T.time_stateful(
-        lambda s, _: gen(s), st, 0, iterations=it))
+    T.report("signal source", n, tst(lambda s, _: gen(s), st, 0))
 
     # quadrature demod
     qd = jax.jit(lambda x: demod.quadrature_demod(x, 1.0))
-    T.report("quadrature demod", n, T.time_fn(qd, a, iterations=it))
+    T.report("quadrature demod", n, tfn(qd, a))
 
     # FFT 2048 w/ window
     w = win.blackman_harris(2048)
     fftf = jax.jit(lambda x: dsp_fft.fft_stream(x, 2048, window=w, shift=True))
-    T.report("fft 2048 fwd+win+shift", n, T.time_fn(fftf, a, iterations=it))
+    T.report("fft 2048 fwd+win+shift", n, tfn(fftf, a))
 
     # filters
     taps = firdes.low_pass(1.0, 10e6, 1e6, 500e3)
     fini, fapp = fir_filter.make_fir_filter(taps)
-    T.report(f"FIR filter ({len(taps)} taps)", n, T.time_stateful(
-        fapp, fini(), a, iterations=it))
+    T.report(f"FIR filter ({len(taps)} taps)", n, tst(fapp, fini(), a))
     oini, oapp, plan = fft_filter.make_fft_filter(taps)
     q = fft_filter.frame_quantum(plan)
     nn = (n // q) * q or q
     a2 = jax.device_put(T.rand_complex(nn, 5))
-    T.report(f"FFT filter ({len(taps)} taps)", nn, T.time_stateful(
-        oapp, oini(), a2, iterations=it))
+    T.report(f"FFT filter ({len(taps)} taps)", nn, tst(oapp, oini(), a2))
 
     # short-dtype FIR variants (reference fir_filter_scc/fsf,
     # lib/fir_filter.h:160,192)
@@ -159,17 +152,14 @@ def main() -> None:
         ctaps, in_dtype=jnp.int16)
     xs = jax.device_put(
         np.random.default_rng(6).integers(-2000, 2000, n, dtype=np.int16))
-    T.report(f"FIR scc ({len(taps)} taps, short in)", n, T.time_stateful(
-        sapp, sini(), xs, iterations=it))
+    T.report(f"FIR scc ({len(taps)} taps, short in)", n, tst(sapp, sini(), xs))
     fsini, fsapp = fir_filter.make_fir_filter_typed(
         taps, in_dtype=jnp.float32, out_dtype=jnp.int16)
-    T.report(f"FIR fsf ({len(taps)} taps, short out)", n, T.time_stateful(
-        fsapp, fsini(), f, iterations=it))
+    T.report(f"FIR fsf ({len(taps)} taps, short out)", n, tst(fsapp, fsini(), f))
 
     if args.testcostas:
         run = demod.make_costas_loop(0.02, 2)
-        T.report("costas loop (order 2)", n, T.time_stateful(
-            run, demod.costas_init(), a, iterations=max(10, it // 10)))
+        T.report("costas loop (order 2)", n, tst(run, demod.costas_init(), a))
 
 
 if __name__ == "__main__":

@@ -18,6 +18,9 @@ def main() -> None:
                     help="apply a Blackman-Harris window")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iterations", type=int, default=100)
+    ap.add_argument("--percall", action="store_true",
+                    help="per-dispatch timing (the reference's style); "
+                         "default: device-side chained reps (lax.scan)")
     args = ap.parse_args()
 
     from clenabled_tpu.tools import _timing as T
@@ -61,7 +64,10 @@ def main() -> None:
         fn = jax.jit(lambda *ss: tuple(
             dsp_fft.fft_stream(x, size, direction=direction, window=w,
                                shift=args.fft_shift) for x in ss))
-    secs = T.time_fn(fn, *xs, iterations=args.iterations)
+    if args.percall:
+        secs = T.time_fn(fn, *xs, iterations=args.iterations)
+    else:
+        secs = T.time_fn_scan(fn, *xs, reps=min(64, args.iterations))
     T.report(f"fft {size}", n * streams, secs,
              extra=f"{n * streams // size} transforms/call")
 

@@ -16,6 +16,9 @@ def main() -> None:
     ap.add_argument("--planar", action="store_true",
                     help="complex-free float32 path (required on axon TPU)")
     ap.add_argument("--iterations", type=int, default=100)
+    ap.add_argument("--percall", action="store_true",
+                    help="per-dispatch timing (the reference's style); "
+                         "default: device-side chained reps (lax.scan)")
     args = ap.parse_args()
 
     from clenabled_tpu.tools import _timing as T
@@ -41,6 +44,14 @@ def main() -> None:
           f"planar: {args.planar}")
 
     it = args.iterations
+    if args.percall:
+        tst = lambda fn, st, fr: T.time_stateful(fn, st, fr, iterations=it)
+    else:
+        tst = lambda fn, st, fr: T.time_stateful_scan(fn, st, fr,
+                                                      reps=min(64, it))
+    print("timing: " + ("per-call" if args.percall else
+                        "scanned device-side chained reps (--percall for "
+                        "the reference's per-dispatch style)"))
 
     if args.planar:
         nn = max(1, args.blocksize // 1024) * 1024
@@ -57,7 +68,7 @@ def main() -> None:
             fini, fapp = fir_filter.make_fir_filter_planar(
                 taps, args.decimation, tile_rows=tile)
             td_name = "time-domain FIR (Pallas)"
-        secs = T.time_stateful(fapp, fini(), frame, iterations=it)
+        secs = tst(fapp, fini(), frame)
         T.report(td_name, nn, secs)
         oini, oapp, plan = fft_filter.make_fft_filter_planar(
             taps, args.decimation)
@@ -65,7 +76,7 @@ def main() -> None:
         n2 = max(1, args.blocksize // q) * q
         frame2 = planar.PC(jax.device_put(T.rand_float(n2, 3)),
                            jax.device_put(T.rand_float(n2, 4)))
-        secs = T.time_stateful(oapp, oini(), frame2, iterations=it)
+        secs = tst(oapp, oini(), frame2)
         # plan is either the XLA OFA plan (fftsize) or the fused Pallas
         # overlap-save plan (in-VMEM window of n samples)
         size = getattr(plan, "fftsize", None) or plan.n
@@ -74,14 +85,14 @@ def main() -> None:
 
     x = jax.device_put(T.rand_complex(args.blocksize))
     fini, fapp = fir_filter.make_fir_filter(taps, args.decimation)
-    secs = T.time_stateful(fapp, fini(), x, iterations=it)
+    secs = tst(fapp, fini(), x)
     T.report("time-domain FIR", args.blocksize, secs)
 
     oini, oapp, plan = fft_filter.make_fft_filter(taps, args.decimation)
     q = fft_filter.frame_quantum(plan)
     nn = max(1, args.blocksize // q) * q
     x2 = jax.device_put(T.rand_complex(nn))
-    secs = T.time_stateful(oapp, oini(), x2, iterations=it)
+    secs = tst(oapp, oini(), x2)
     T.report(f"freq-domain OFA (fft {plan.fftsize})", nn, secs)
 
 

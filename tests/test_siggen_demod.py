@@ -192,3 +192,56 @@ def test_costas_chunked_validates_frame():
     with pytest.raises(ValueError):
         run(st, planar.PC(np.zeros(1000, np.float32),
                           np.zeros(1000, np.float32)))
+
+
+def test_qdemod_fused_kernel_matches_xla():
+    """Round-4 Pallas qdemod (lane-roll shift + SMEM cross-tile carry):
+    matches the XLA form to fp rounding (fma contraction differs),
+    including the carried-sample seam and multi-tile carries."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import demod, pallas_kernels, planar
+
+    rng = np.random.default_rng(7)
+    n = 4096                       # rows=32, tile 8 → 4 tiles in interpret
+    xr = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    last = planar.PC(jnp.asarray([0.3], jnp.float32),
+                     jnp.asarray([-0.7], jnp.float32))
+    want, nl = demod.quadrature_demod_planar(
+        planar.PC(jnp.asarray(xr), jnp.asarray(xi)), 2.5, last,
+        use_pallas=False)
+    got = pallas_kernels.qdemod_fused(
+        jnp.asarray(xr), jnp.asarray(xi), last.re[0], last.im[0], 2.5,
+        tile_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # and through the auto-routing wrapper (forced on)
+    got2, nl2 = demod.quadrature_demod_planar(
+        planar.PC(jnp.asarray(xr), jnp.asarray(xi)), 2.5, last,
+        use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(nl2.re), np.asarray(nl.re))
+
+
+def test_qdemod_planar_outconcat_matches_reference_form():
+    """The round-4 sliced-views restructuring must equal the original
+    input-concat formulation exactly (it is the same arithmetic on the
+    same values, just without materialized shifted copies)."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import demod, planar
+
+    rng = np.random.default_rng(8)
+    n = 777                        # odd length, no kernel route
+    x = planar.PC(jnp.asarray(rng.standard_normal(n), jnp.float32),
+                  jnp.asarray(rng.standard_normal(n), jnp.float32))
+    last = planar.PC(jnp.asarray([0.1], jnp.float32),
+                     jnp.asarray([0.2], jnp.float32))
+    got, _ = demod.quadrature_demod_planar(x, 1.5, last, use_pallas=False)
+    pr = jnp.concatenate([last.re, x.re[:-1]])
+    pi = jnp.concatenate([last.im, x.im[:-1]])
+    prod = planar.mul_conj(x, planar.PC(pr, pi))
+    want = jnp.float32(1.5) * jnp.arctan2(prod.im, prod.re)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
