@@ -149,6 +149,28 @@ def fir_direct(x, taps, tile_rows: int = 256, interpret: bool = False):
     )(xp, taps_k).reshape(n)
 
 
+def _atan2_poly(y, x):
+    """atan2 via an odd minimax polynomial on [0, 1] (~1e-5 rad max
+    error) — Mosaic has no atan2 primitive (round-4 probe: lowering
+    raises Unimplemented).  Well inside the reference's own fast_atan2f
+    LUT envelope (measured < 2.5e-3, tests/golden streaming_golden).
+    atan2(0, 0) := 0; the −0.0 branch returns +π (irrelevant for
+    product-of-samples inputs)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.where(hi == 0.0, jnp.float32(1.0), hi)
+    s = z * z
+    r = ((((jnp.float32(-0.0117212) * s + jnp.float32(0.05265332)) * s
+           - jnp.float32(0.11643287)) * s + jnp.float32(0.19354346)) * s
+         - jnp.float32(0.33262347)) * s + jnp.float32(0.99997726)
+    r = r * z
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
 def _qdemod_kernel(last_ref, xr_ref, xi_ref, o_ref, carry, *, gain):
     """Fused quadrature demod: y[n] = gain·atan2(im, re) of
     x[n]·conj(x[n−1]).  The one-sample shift is a lane roll + row carry
@@ -178,7 +200,7 @@ def _qdemod_kernel(last_ref, xr_ref, xi_ref, o_ref, carry, *, gain):
     pi_ = jnp.where(lane >= 1, ri, dn_i)
     cr = xr * pr + xi * pi_
     ci = xi * pr - xr * pi_
-    o_ref[:, :] = jnp.float32(gain) * jnp.arctan2(ci, cr)
+    o_ref[:, :] = jnp.float32(gain) * _atan2_poly(ci, cr)
     carry[0] = xr[rows - 1, LANES - 1]
     carry[1] = xi[rows - 1, LANES - 1]
 
@@ -189,7 +211,9 @@ def qdemod_fused(xr, xi, last_r, last_i, gain: float,
     (n a multiple of 1024), last_r/last_i scalar carried samples (the
     previous frame's last sample; reference set_history(2)).  Returns
     y [n] float32 — equals demod.quadrature_demod_planar's XLA form to
-    fp rounding (fma contraction; tests/test_siggen_demod.py)."""
+    ~1e-5 rad·gain (in-kernel polynomial atan2, _atan2_poly — Mosaic has
+    no atan2 primitive; still ~100x tighter than the reference's own
+    fast_atan2f LUT; tests/test_siggen_demod.py)."""
     n = xr.shape[-1]
     if n % LANES:
         raise ValueError(f"frame length {n} must be a multiple of {LANES}")

@@ -124,11 +124,12 @@ def report(name: str, block_size: int, secs: float, extra: str = "") -> None:
           f"{', ' + extra if extra else ''})")
 
 
-def _strided_sum(out):
-    """Cheap reduction folding every output leaf into a scalar so no step
-    of a scanned measurement is dead code (a DCE'd step loses its DMAs
-    too — BENCH_TPU.md round-2 caution).  Strided: ~64 elements per leaf,
-    negligible extra HBM traffic."""
+def _full_sum(out):
+    """Reduction folding every output leaf into a scalar so no step of a
+    scanned measurement is dead code (a DCE'd step loses its DMAs too —
+    BENCH_TPU.md round-2 caution).  A FULL sum: predictable one extra
+    read pass (strided slices measured pathological on TPU); used only
+    when the stacked-ys form would not fit memory."""
     import jax
     import jax.numpy as jnp
 
@@ -136,10 +137,37 @@ def _strided_sum(out):
     for leaf in jax.tree_util.tree_leaves(out):
         if not hasattr(leaf, "ravel"):
             continue
-        flat = leaf.astype(jnp.float32).ravel()
-        step = max(1, flat.shape[0] // 64)
-        acc = acc + jnp.sum(flat[::step])
+        acc = acc + jnp.sum(leaf.astype(jnp.float32))
     return acc
+
+
+def _out_bytes(out):
+    import jax
+
+    return sum(getattr(x, "size", 0) * getattr(x, "dtype", np.float32).itemsize
+               for x in jax.tree_util.tree_leaves(out)
+               if hasattr(x, "size"))
+
+
+_YS_BYTES_CAP = 256 << 20   # stack per-step outputs up to this much
+
+
+def _scan_slope(run1, run2, k1, k2):
+    """Per-step seconds from two scan lengths.  NO per-call avg fallback
+    here (slope_per_call's rescue is for per-dispatch timing; in scanned
+    mode the dispatch constant can be 30x the step, and falling back to
+    t2/k2 would print the constant)."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fence(run1())
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _fence(run2())
+        t2 = time.perf_counter() - t0
+        s = max((t2 - t1) / (k2 - k1), 1e-9)
+        best = s if best is None else min(best, s)
+    return best
 
 
 def time_stateful_scan(fn, state, *args, reps=64):
@@ -153,6 +181,13 @@ def time_stateful_scan(fn, state, *args, reps=64):
     import jax
     import jax.numpy as jnp
 
+    # decide the anti-DCE form from one probe call: stack per-step
+    # outputs as scan ys when they fit (each step writes its own slot —
+    # exactly a real streaming run, no extra passes), else fold a FULL
+    # sum into the carry
+    probe_out = fn(state, *args)[1]
+    use_ys = _out_bytes(probe_out) * reps <= _YS_BYTES_CAP
+
     # args ride as jit PARAMETERS, not closure constants — closed-over
     # device arrays inflate the remote-compile payload past the tunnel's
     # size limit (HTTP 413, round-3 hazard)
@@ -160,7 +195,9 @@ def time_stateful_scan(fn, state, *args, reps=64):
         def body(carry, _, a=()):
             st, acc = carry
             st2, out = fn(st, *a)
-            return (st2, acc + _strided_sum(out)), None
+            if use_ys:
+                return (st2, acc), out
+            return (st2, acc + _full_sum(out)), None
 
         return jax.jit(lambda st, *a: jax.lax.scan(
             lambda c, x: body(c, x, a), (st, jnp.float32(0)),
@@ -171,17 +208,8 @@ def time_stateful_scan(fn, state, *args, reps=64):
     f1, f2 = make(k1), make(k2)
     _fence(f1(state, *args))
     _fence(f2(state, *args))
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _fence(f1(state, *args))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _fence(f2(state, *args))
-        t2 = time.perf_counter() - t0
-        s = slope_per_call(t1, k1, t2, k2)
-        best = s if best is None else min(best, s)
-    return best
+    return _scan_slope(lambda: f1(state, *args), lambda: f2(state, *args),
+                       k1, k2)
 
 
 def time_fn_scan(fn, *args, reps=64):
@@ -198,11 +226,19 @@ def time_fn_scan(fn, *args, reps=64):
                            x.im)
         return x.at[..., 0].add(eps.astype(x.dtype))
 
+    probe_out = fn(*args)
+    use_ys = _out_bytes(probe_out) * reps <= _YS_BYTES_CAP
+
     def make(k):
         def body(acc, _, a=()):
             eps = acc * jnp.float32(1e-30)
             out = fn(perturb(a[0], eps), *a[1:])
-            return acc + _strided_sum(out), None
+            if use_ys:
+                # the carry must still DEPEND on out (the perturbation
+                # chain is what stops loop-invariant hoisting)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return acc + leaf.astype(jnp.float32).ravel()[0], out
+            return acc + _full_sum(out), None
 
         return jax.jit(lambda *a: jax.lax.scan(
             lambda c, x: body(c, x, a), jnp.float32(0), None, length=k))
@@ -212,14 +248,4 @@ def time_fn_scan(fn, *args, reps=64):
     f1, f2 = make(k1), make(k2)
     _fence(f1(*args))
     _fence(f2(*args))
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _fence(f1(*args))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _fence(f2(*args))
-        t2 = time.perf_counter() - t0
-        s = slope_per_call(t1, k1, t2, k2)
-        best = s if best is None else min(best, s)
-    return best
+    return _scan_slope(lambda: f1(*args), lambda: f2(*args), k1, k2)

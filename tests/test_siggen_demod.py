@@ -196,8 +196,8 @@ def test_costas_chunked_validates_frame():
 
 def test_qdemod_fused_kernel_matches_xla():
     """Round-4 Pallas qdemod (lane-roll shift + SMEM cross-tile carry):
-    matches the XLA form to fp rounding (fma contraction differs),
-    including the carried-sample seam and multi-tile carries."""
+    matches the XLA form to the in-kernel polynomial atan2's ~1e-5 rad
+    envelope, including the carried-sample seam and multi-tile carries."""
     import jax.numpy as jnp
 
     from clenabled_tpu.dsp import demod, pallas_kernels, planar
@@ -215,13 +215,13 @@ def test_qdemod_fused_kernel_matches_xla():
         jnp.asarray(xr), jnp.asarray(xi), last.re[0], last.im[0], 2.5,
         tile_rows=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=5e-5)
     # and through the auto-routing wrapper (forced on)
     got2, nl2 = demod.quadrature_demod_planar(
         planar.PC(jnp.asarray(xr), jnp.asarray(xi)), 2.5, last,
         use_pallas=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=5e-5)
     np.testing.assert_array_equal(np.asarray(nl2.re), np.asarray(nl.re))
 
 
