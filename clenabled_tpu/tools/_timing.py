@@ -152,22 +152,29 @@ def _out_bytes(out):
 _YS_BYTES_CAP = 256 << 20   # stack per-step outputs up to this much
 
 
-def _scan_slope(run1, run2, k1, k2):
+def _scan_slope(run1, run2, k1, k2, rounds: int = 5):
     """Per-step seconds from two scan lengths.  NO per-call avg fallback
-    here (slope_per_call's rescue is for per-dispatch timing; in scanned
-    mode the dispatch constant can be 30x the step, and falling back to
-    t2/k2 would print the constant)."""
-    best = None
-    for _ in range(3):
+    (slope_per_call's rescue is for per-dispatch timing; in scanned mode
+    the dispatch constant can be 30x the step and falling back to t2/k2
+    would print the constant).  The shared machine's stall phases can
+    flip mid-round and produce NEGATIVE slopes — take the MEDIAN of the
+    positive rounds (min-of-rounds picks exactly the corrupted one)."""
+    import statistics
+
+    slopes = []
+    for _ in range(rounds):
         t0 = time.perf_counter()
         _fence(run1())
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         _fence(run2())
         t2 = time.perf_counter() - t0
-        s = max((t2 - t1) / (k2 - k1), 1e-9)
-        best = s if best is None else min(best, s)
-    return best
+        s = (t2 - t1) / (k2 - k1)
+        if s > 0:
+            slopes.append(s)
+    if not slopes:               # every round corrupted: report the avg
+        return max(t2 / k2, 1e-9)
+    return statistics.median(slopes)
 
 
 def time_stateful_scan(fn, state, *args, reps=64):
