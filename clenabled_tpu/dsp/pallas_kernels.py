@@ -301,7 +301,8 @@ def _fx_constants(taps_rm, m: int):
 def _fx_tile_math(i, num, read_group, hr_ref, m1_ref, m2_ref, m3_ref,
                   n1_ref, n2_ref, n3_ref, fd_out, xe_out, fd_acc, xe_acc, *,
                   tile_rows, w, a, m, fd_pairs, xe_pairs, karatsuba=False,
-                  mxu_dtype=jnp.float32, mq_ref=None, read_group_dyn=None):
+                  mxu_dtype=jnp.float32, mq_ref=None, read_group_dyn=None,
+                  wide_ref=None):
     """Shared per-tile math of the fused flagship kernels.
 
     read_group(gi) must return the [tile_rows + halo, 128] VMEM feed block
@@ -371,10 +372,21 @@ def _fx_tile_math(i, num, read_group, hr_ref, m1_ref, m2_ref, m3_ref,
             # dynamic ref loads — the fully-unrolled form crashes the axon
             # backend's remote Mosaic build at nq ≥ ~11, exactly as in the
             # OS-PFB kernel (round-3 envelope); this form compiles and
-            # runs at every depth probed there
+            # runs at every depth probed there.  NARROW (i8/bf16) feeds
+            # first widen into an f32 VMEM scratch (wide_ref): Mosaic
+            # rejects dynamic sublane starts on narrow memrefs ("cannot
+            # statically prove index is a multiple of 8" — round-4 probe,
+            # job 314) but accepts them on f32; the widen is one VPU pass
+            # per group and the HBM DMA stays narrow.
             def branch_sums_mm(gi):
+                if wide_ref is not None:
+                    wide_ref[:, :] = read_group(gi).astype(jnp.float32)
+
                 def body(q, acc):
-                    sl = read_group_dyn(gi, q)
+                    if wide_ref is not None:
+                        sl = wide_ref[pl.ds(q, tile_rows), :]
+                    else:
+                        sl = read_group_dyn(gi, q)
                     if sl.dtype != md:
                         sl = sl.astype(md)
                     mat = mq_ref[q]
@@ -595,9 +607,9 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
 
 def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
                          m2_ref, m3_ref, n1_ref, n2_ref, n3_ref, mq_ref,
-                         fd_out, xe_out, scratch, fd_acc, xe_acc, sems, *,
-                         tile_rows, halo, w, a, m, fd_pairs, xe_pairs,
-                         karatsuba=False, mxu_dtype=jnp.float32,
+                         fd_out, xe_out, scratch, fd_acc, xe_acc, sems,
+                         *rest_scratch, tile_rows, halo, w, a, m, fd_pairs,
+                         xe_pairs, karatsuba=False, mxu_dtype=jnp.float32,
                          branch_mxu=False):
     """Concat-free fused flagship kernel: reads the frame's re/im component
     arrays straight from HBM (no host-side packing or history concat) and
@@ -672,6 +684,7 @@ def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
     def make_read_dyn(s):
         return lambda gi, q: scratch[s, gi, pl.ds(q, tile_rows), :]
 
+    wide_ref = rest_scratch[0] if rest_scratch else None
     for s in range(2):
         @pl.when(slot == s)
         def _(s=s):
@@ -681,7 +694,8 @@ def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
                           m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs,
                           karatsuba=karatsuba, mxu_dtype=mxu_dtype,
                           mq_ref=mq_ref if branch_mxu else None,
-                          read_group_dyn=make_read_dyn(s))
+                          read_group_dyn=make_read_dyn(s),
+                          wide_ref=wide_ref)
 
 
 FX_TAIL_LEN = 8 * LANES  # carried-history samples per stream (float32)
@@ -829,7 +843,12 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
         # exact multi-pass f32 sums.  Narrow ingest uses bf16 operands
         # (exact feed, taps rounded below the 8-bit quantization floor).
         branch_mxu = True
-    consts = consts + (jnp.asarray(_fx_band_matrices(taps_rm, m)),)
+    band = _fx_band_matrices(taps_rm, m)
+    consts = consts + (jnp.asarray(band),)
+    # narrow deep prototypes: the fori branch path needs an f32 widening
+    # scratch (dynamic sublane starts on narrow memrefs fail to lower)
+    need_wide = (branch_mxu and band.shape[0] > 8
+                 and jnp.dtype(xr.dtype) != jnp.float32)
     call = pl.pallas_call(
         partial(_fx_stream_kernel_v2, tile_rows=tile_rows, halo=halo, w=w,
                 a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs,
@@ -853,7 +872,8 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
             pltpu.VMEM((fd_rows, LANES), jnp.float32),
             pltpu.VMEM((xe_rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, g)),
-        ],
+        ] + ([pltpu.VMEM((tile_rows + halo, LANES), jnp.float32)]
+             if need_wide else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * g * (w + 2 * m),
             bytes_accessed=jnp.dtype(xr.dtype).itemsize * g * n,

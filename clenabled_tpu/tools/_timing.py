@@ -127,9 +127,12 @@ def report(name: str, block_size: int, secs: float, extra: str = "") -> None:
 def _full_sum(out):
     """Reduction folding every output leaf into a scalar so no step of a
     scanned measurement is dead code (a DCE'd step loses its DMAs too —
-    BENCH_TPU.md round-2 caution).  A FULL sum: predictable one extra
-    read pass (strided slices measured pathological on TPU); used only
-    when the stacked-ys form would not fit memory."""
+    BENCH_TPU.md round-2 caution).  Sum of SQUARES, not a plain sum: XLA
+    reassociates a linear reduce THROUGH a matmul (sum(x@F) becomes
+    x@sum(F), eliminating the op being measured — caught live: an FFT
+    row printed an impossible 71 GSPS); a quadratic cannot be folded.
+    One extra read pass; used only when the stacked-ys form would not
+    fit memory."""
     import jax
     import jax.numpy as jnp
 
@@ -137,7 +140,8 @@ def _full_sum(out):
     for leaf in jax.tree_util.tree_leaves(out):
         if not hasattr(leaf, "ravel"):
             continue
-        acc = acc + jnp.sum(leaf.astype(jnp.float32))
+        f = leaf.astype(jnp.float32)
+        acc = acc + jnp.sum(f * f)
     return acc
 
 
@@ -149,7 +153,7 @@ def _out_bytes(out):
                if hasattr(x, "size"))
 
 
-_YS_BYTES_CAP = 256 << 20   # stack per-step outputs up to this much
+_YS_BYTES_CAP = 1 << 30   # stack per-step outputs up to this much (HBM 16G)
 
 
 def _scan_slope(run1, run2, k1, k2, rounds: int = 5):

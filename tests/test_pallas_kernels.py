@@ -519,3 +519,47 @@ def test_fx_pipeline_fused_deep_prototype_wiring():
                                rtol=1e-4, atol=1e-4 * sc)
     np.testing.assert_allclose(np.asarray(xim_f), np.asarray(xim_p),
                                rtol=1e-4, atol=1e-4 * sc)
+
+
+def test_fx_v2_deep_prototype_narrow_ingest():
+    """Deep prototype + int8 ingest: the fori branch path widens narrow
+    feeds through the f32 VMEM scratch (Mosaic rejects dynamic sublane
+    starts on narrow memrefs — round-4 job 314); must match the f32
+    kernel exactly on int8-representable samples."""
+    import jax.numpy as jnp
+
+    a, m = 2, 16
+    ntaps0 = 1600
+    proto = (np.sinc(np.linspace(-4, 4, ntaps0))
+             * np.hanning(ntaps0)).astype(np.float32)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, ntaps = channelizer._pfb_constants(proto, m, m)
+
+    tail8 = pallas_kernels.fx_tail_len(jnp.int8, m, ntaps)
+    assert tail8 == 4096                # int8 sublane floor already covers
+    rng = np.random.default_rng(29)
+    n = 1 << 14
+    xr8 = rng.integers(-63, 64, (a, n)).astype(np.int8)
+    xi8 = rng.integers(-63, 64, (a, n)).astype(np.int8)
+    tr8 = rng.integers(-63, 64, (a, tail8)).astype(np.int8)
+    ti8 = rng.integers(-63, 64, (a, tail8)).astype(np.int8)
+    fd8, xe8 = pallas_kernels.fx_correlate_streams_v2(
+        xr8, xi8, tr8, ti8, np.asarray(taps_rm), a, m, tile_rows=32,
+        interpret=True, mxu_dtype=jnp.float32)
+
+    # f32 oracle over the SAME virtual-stream window (re-framed so the
+    # deeper int8 tail lines up — as test_fx_v2_narrow_ingest_dtypes)
+    tail_f = pallas_kernels.fx_tail_len(jnp.float32, m, ntaps)
+    as32 = lambda v: np.asarray(v, np.float32)
+    sr = np.concatenate([as32(tr8), as32(xr8)], axis=-1)
+    si = np.concatenate([as32(ti8), as32(xi8)], axis=-1)
+    # both virtual streams start at sr[0]; outputs cover positions [0, n)
+    # regardless of tail depth (the tail only sets the halo)
+    fd_f, xe_f = pallas_kernels.fx_correlate_streams_v2(
+        sr[:, tail_f: tail_f + n], si[:, tail_f: tail_f + n],
+        sr[:, :tail_f], si[:, :tail_f],
+        np.asarray(taps_rm), a, m, tile_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(fd8), np.asarray(fd_f),
+                               rtol=1e-5, atol=1e-5 * np.abs(fd_f).max())
+    np.testing.assert_allclose(np.asarray(xe8), np.asarray(xe_f),
+                               rtol=1e-5, atol=1e-5 * np.abs(np.asarray(xe_f)).max())
