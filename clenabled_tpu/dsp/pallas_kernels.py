@@ -245,6 +245,124 @@ def qdemod_fused(xr, xi, last_r, last_i, gain: float,
     return y.reshape(n)
 
 
+def _fft_batched_consts(n: int, sign: int, v: int):
+    """Constants for the fused batched FFT kernel: n = n2·128 decomposed
+    with m1 = n mod 128 on the LANES and m2 = n // 128 on the sublanes —
+    so stage 1 (DFT_n2 over rows) is a block-diagonal left matmul, the
+    twiddle is an elementwise [n2, 128] tile, and stage 2 (DFT_128 over
+    lanes) is a right matmul.  Output index k = n2·k1 + k2 means
+    out_flat = transpose(z[n2, 128]).ravel() per vector — done in-VMEM.
+    All in float64 on host, cast to f32."""
+    n2 = n // LANES
+    ang1 = sign * 2.0 * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2
+    w2r, w2i = np.cos(ang1), np.sin(ang1)
+    bd_r = np.zeros((v * n2, v * n2), np.float32)
+    bd_i = np.zeros((v * n2, v * n2), np.float32)
+    for b in range(v):
+        bd_r[b * n2:(b + 1) * n2, b * n2:(b + 1) * n2] = w2r
+        bd_i[b * n2:(b + 1) * n2, b * n2:(b + 1) * n2] = w2i
+    angt = sign * 2.0 * np.pi * np.outer(np.arange(n2), np.arange(LANES)) / n
+    tw_r = np.tile(np.cos(angt).astype(np.float32), (v, 1))
+    tw_i = np.tile(np.sin(angt).astype(np.float32), (v, 1))
+    ang2 = sign * 2.0 * np.pi * np.outer(np.arange(LANES),
+                                         np.arange(LANES)) / LANES
+    w1r = np.cos(ang2).astype(np.float32)
+    w1i = np.sin(ang2).astype(np.float32)
+    return (jnp.asarray(bd_r), jnp.asarray(bd_i), jnp.asarray(tw_r),
+            jnp.asarray(tw_i), jnp.asarray(w1r), jnp.asarray(w1i))
+
+
+def _fft_batched_kernel(bdr_ref, bdi_ref, twr_ref, twi_ref, w1r_ref,
+                        w1i_ref, win_ref, xr_ref, xi_ref, or_ref, oi_ref, *,
+                        n2, v, windowed):
+    """One tile = v vectors of n = n2·128 samples ([v·n2, 128] blocks).
+    stage1 block-diag left matmul (DFT_n2 over rows) → twiddle → stage2
+    right matmul (DFT_128 over lanes) → per-vector [n2,128]→[128,n2]
+    transpose + flat view (output order k = n2·k1 + k2)."""
+    xr = xr_ref[:, :]
+    xi = xi_ref[:, :]
+    if windowed:
+        xr = xr * win_ref[:, :]
+        xi = xi * win_ref[:, :]
+    bdr = bdr_ref[:, :]
+    bdi = bdi_ref[:, :]
+    yr = (jnp.dot(bdr, xr, preferred_element_type=jnp.float32)
+          - jnp.dot(bdi, xi, preferred_element_type=jnp.float32))
+    yi = (jnp.dot(bdi, xr, preferred_element_type=jnp.float32)
+          + jnp.dot(bdr, xi, preferred_element_type=jnp.float32))
+    twr = twr_ref[:, :]
+    twi = twi_ref[:, :]
+    tr_ = yr * twr - yi * twi
+    ti_ = yr * twi + yi * twr
+    w1r = w1r_ref[:, :]
+    w1i = w1i_ref[:, :]
+    zr = (jnp.dot(tr_, w1r, preferred_element_type=jnp.float32)
+          - jnp.dot(ti_, w1i, preferred_element_type=jnp.float32))
+    zi = (jnp.dot(tr_, w1i, preferred_element_type=jnp.float32)
+          + jnp.dot(ti_, w1r, preferred_element_type=jnp.float32))
+    # per-vector transpose to final flat order (k = n2·k1 + k2)
+    z3r = zr.reshape(v, n2, LANES)
+    z3i = zi.reshape(v, n2, LANES)
+    or_ref[:, :] = jnp.swapaxes(z3r, -1, -2).reshape(v * n2, LANES)
+    oi_ref[:, :] = jnp.swapaxes(z3i, -1, -2).reshape(v * n2, LANES)
+
+
+def fft_batched_fused(xr, xi, fft_size: int, inverse: bool = False,
+                      window=None, interpret: bool = False):
+    """Fused batched FFT over a planar stream chopped into fft_size
+    vectors: ONE Pallas pass (optional window → two-stage DFT on the MXU
+    → in-VMEM output reorder), so each sample crosses HBM exactly once
+    in and once out — the XLA two-stage path round-trips its inter-stage
+    intermediates (round-4 probe: 14.0 GSPS standalone vs a ~24.7 GSPS
+    two-stage-traffic roofline; this kernel's io roofline is ~49).
+    Unscaled in both directions (the framework's clFFT convention).
+
+    xr/xi: [n] float32, n a multiple of fft_size; fft_size = n2·128 with
+    n2 a power of two in [2, 128].  Returns (yr, yi) [n] float32.
+    """
+    n = xr.shape[-1]
+    if fft_size % LANES:
+        raise ValueError(f"fft_size must be a multiple of {LANES}")
+    n2 = fft_size // LANES
+    if n2 < 2 or n2 > 128 or (n2 & (n2 - 1)):
+        raise ValueError("fft_size/128 must be a power of two in [2, 128]")
+    if n % fft_size:
+        raise ValueError("stream length must be a multiple of fft_size")
+    nvec = n // fft_size
+    v = max(1, min(nvec, 256 // n2))      # ≤256 rows per block-diag dot
+    while nvec % v:
+        v //= 2
+    sign = 1 if inverse else -1
+    consts = _fft_batched_consts(fft_size, sign, v)
+    if window is not None:
+        win = jnp.tile(jnp.asarray(window, jnp.float32).reshape(n2, LANES),
+                       (v, 1))
+        windowed = True
+    else:
+        win = jnp.zeros((v * n2, LANES), jnp.float32)
+        windowed = False
+    rows = n // LANES
+    tile = v * n2
+    yr, yi = pl.pallas_call(
+        partial(_fft_batched_kernel, n2=n2, v=v, windowed=windowed),
+        grid=(rows // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+        + [pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+           pl.BlockSpec((tile, LANES), lambda i: (i, 0))],
+        out_specs=(pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+                   pl.BlockSpec((tile, LANES), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * (n2 + LANES),
+            bytes_accessed=16 * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*consts, win, xr.reshape(rows, LANES), xi.reshape(rows, LANES))
+    return yr.reshape(n), yi.reshape(n)
+
+
 def _fx_band_matrices(taps_rm, m: int):
     """Banded shift matrices M_q folding the ENTIRE polyphase branch stage
     into MXU matmuls: acc[r, λ] = Σ_c hr[c, λ]·flat[r·128 + λ + (w−1−c)·m]

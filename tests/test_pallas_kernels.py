@@ -563,3 +563,48 @@ def test_fx_v2_deep_prototype_narrow_ingest():
                                rtol=1e-5, atol=1e-5 * np.abs(fd_f).max())
     np.testing.assert_allclose(np.asarray(xe8), np.asarray(xe_f),
                                rtol=1e-5, atol=1e-5 * np.abs(np.asarray(xe_f)).max())
+
+
+def test_fft_batched_fused_matches_planar():
+    """Round-4 fused batched FFT kernel: one Pallas pass (window → block
+    DFT_n2 → twiddle → DFT_128 → in-VMEM reorder) must match planar.fft
+    for forward/inverse, multiple sizes, windowed, multi-tile grids."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import window as win_mod
+
+    rng = np.random.default_rng(41)
+    for fft_size, nvec in [(2048, 5), (512, 9), (256, 4)]:
+        n = fft_size * nvec
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        for inverse in (False, True):
+            got_r, got_i = pallas_kernels.fft_batched_fused(
+                jnp.asarray(xr), jnp.asarray(xi), fft_size,
+                inverse=inverse, interpret=True)
+            want = planar.fft(
+                planar.PC(jnp.asarray(xr.reshape(nvec, fft_size)),
+                          jnp.asarray(xi.reshape(nvec, fft_size))),
+                inverse=inverse)
+            scale = np.abs(np.asarray(want.re)).max()
+            np.testing.assert_allclose(
+                np.asarray(got_r).reshape(nvec, fft_size),
+                np.asarray(want.re), rtol=1e-4, atol=1e-4 * scale,
+                err_msg=f"size {fft_size} inv {inverse}")
+            np.testing.assert_allclose(
+                np.asarray(got_i).reshape(nvec, fft_size),
+                np.asarray(want.im), rtol=1e-4, atol=1e-4 * scale)
+    # windowed forward
+    w = win_mod.blackman_harris(2048)
+    n = 2048 * 3
+    xr = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    got_r, got_i = pallas_kernels.fft_batched_fused(
+        jnp.asarray(xr), jnp.asarray(xi), 2048, window=w, interpret=True)
+    xw = (xr.reshape(3, 2048) * np.asarray(w),
+          xi.reshape(3, 2048) * np.asarray(w))
+    want = planar.fft(planar.PC(jnp.asarray(xw[0]), jnp.asarray(xw[1])))
+    scale = np.abs(np.asarray(want.re)).max()
+    np.testing.assert_allclose(np.asarray(got_r).reshape(3, 2048),
+                               np.asarray(want.re), rtol=1e-4,
+                               atol=1e-4 * scale)
