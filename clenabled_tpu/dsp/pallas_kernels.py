@@ -273,8 +273,8 @@ def _fft_batched_consts(n: int, sign: int, v: int):
 
 
 def _fft_batched_kernel(bdr_ref, bdi_ref, twr_ref, twi_ref, w1r_ref,
-                        w1i_ref, win_ref, xr_ref, xi_ref, or_ref, oi_ref, *,
-                        n2, v, windowed):
+                        w1i_ref, win_ref, xr_ref, xi_ref, or_ref, oi_ref,
+                        ztr_scr, zti_scr, *, n2, v, windowed):
     """One tile = v vectors of n = n2·128 samples ([v·n2, 128] blocks).
     stage1 block-diag left matmul (DFT_n2 over rows) → twiddle → stage2
     right matmul (DFT_128 over lanes) → per-vector [n2,128]→[128,n2]
@@ -296,15 +296,45 @@ def _fft_batched_kernel(bdr_ref, bdi_ref, twr_ref, twi_ref, w1r_ref,
     ti_ = yr * twi + yi * twr
     w1r = w1r_ref[:, :]
     w1i = w1i_ref[:, :]
-    zr = (jnp.dot(tr_, w1r, preferred_element_type=jnp.float32)
-          - jnp.dot(ti_, w1i, preferred_element_type=jnp.float32))
-    zi = (jnp.dot(tr_, w1i, preferred_element_type=jnp.float32)
-          + jnp.dot(ti_, w1r, preferred_element_type=jnp.float32))
-    # per-vector transpose to final flat order (k = n2·k1 + k2)
-    z3r = zr.reshape(v, n2, LANES)
-    z3i = zi.reshape(v, n2, LANES)
-    or_ref[:, :] = jnp.swapaxes(z3r, -1, -2).reshape(v * n2, LANES)
-    oi_ref[:, :] = jnp.swapaxes(z3i, -1, -2).reshape(v * n2, LANES)
+    # stage 2 with the output transpose FOLDED INTO the matmul: contract
+    # the feed's LANE dim against W128's m1 dim, so the result arrives as
+    # zt[k1, tile-row] = z[k2, k1] already transposed (Mosaic cannot
+    # lower the [v,128,n2]→[v·n2,128] shape cast, and dot_general with
+    # arbitrary contracting dims runs at full MXU width — the rhs keeps
+    # v·n2 result columns)
+    dg = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ztr = dg(w1r, tr_) - dg(w1i, ti_)      # [128 (k1), v·n2]
+    zti = dg(w1i, tr_) + dg(w1r, ti_)
+    # final flat order k = n2·k1 + k2: out[b·n2 + r, n2·t + c] =
+    # zt[tc·r + t, b·n2 + c] — stage zt through VMEM (strided loads are
+    # a Mosaic primitive, strided slices on VALUES are not; the strided
+    # load's base memref must be 128-lane minor, hence the segmented
+    # [segs, 128, 128] scratch) then sublane-strided REF reads +
+    # contiguous n2-lane block stores
+    tile = v * n2
+    for seg in range(ztr_scr.shape[0]):
+        wdt = min(LANES, tile - seg * LANES)
+        ztr_scr[seg, :, :wdt] = ztr[:, seg * LANES:seg * LANES + wdt]
+        zti_scr[seg, :, :wdt] = zti[:, seg * LANES:seg * LANES + wdt]
+    tc = LANES // n2
+    per_seg = max(1, LANES // n2)          # vectors per 128-lane segment
+    for seg in range(ztr_scr.shape[0]):
+        for t in range(tc):
+            # ONE full-lane strided load per (seg, t) (the primitive
+            # requires lane offset 0), then contiguous value slices
+            fr = ztr_scr[seg, t::tc, :]    # [n2, 128]
+            fi = zti_scr[seg, t::tc, :]
+            for j in range(per_seg):
+                b = seg * per_seg + j
+                if b >= v:
+                    break
+                lo = j * n2
+                or_ref[b * n2:(b + 1) * n2, n2 * t:n2 * (t + 1)] = \
+                    fr[:, lo:lo + n2]
+                oi_ref[b * n2:(b + 1) * n2, n2 * t:n2 * (t + 1)] = \
+                    fi[:, lo:lo + n2]
 
 
 def fft_batched_fused(xr, xi, fft_size: int, inverse: bool = False,
@@ -353,6 +383,10 @@ def fft_batched_fused(xr, xi, fft_size: int, inverse: bool = False,
                    pl.BlockSpec((tile, LANES), lambda i: (i, 0))),
         out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((rows, LANES), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((-(-tile // LANES), LANES, LANES), jnp.float32),
+            pltpu.VMEM((-(-tile // LANES), LANES, LANES), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=8 * n * (n2 + LANES),
             bytes_accessed=16 * n,
