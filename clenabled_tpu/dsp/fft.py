@@ -101,13 +101,64 @@ def fft_planar(x, direction: int = FORWARD, window=None, shift: bool = False):
     return planar.ifft_unscaled(x)
 
 
+def _fused_fft_supported(x, fft_size: int) -> bool:
+    """Shapes pallas_kernels.fft_batched_fused covers: 1-D planar
+    streams, fft_size = n2·128 with n2 a power of two ≥ 8 (runs in
+    interpret mode on CPU backends)."""
+    if x.re.ndim != 1:
+        return False
+    n2 = fft_size // 128
+    return fft_size % 128 == 0 and n2 >= 8 and (n2 & (n2 - 1)) == 0
+
+
 def fft_stream_planar(x, fft_size: int, direction: int = FORWARD,
-                      window=None, shift: bool = False):
-    """Planar fft_stream: PC of 1-D streams chopped into fft_size vectors."""
+                      window=None, shift: bool = False,
+                      use_pallas: bool = False):
+    """Planar fft_stream: PC of 1-D streams chopped into fft_size
+    vectors.
+
+    use_pallas=True runs covered sizes (n2·128, n2 pow2 ≥ 8) through the
+    fused single-HBM-pass Pallas kernel (pallas_kernels.fft_batched_fused).
+    OPT-IN, not the default (round-4 measurement, BENCH_TPU.md jobs
+    324/325): at 2048-pt the dedicated A/B favored the kernel (median
+    17.2 vs 15.0 GSPS, per-rep ratio med 1.46) but through this wrapper
+    the medians are a wash under the environment's phase noise, small
+    sizes lose outright (512-pt: 0.57× — the reorder's op count grows
+    as (128/n2)²), and the kernel's bf16-operand dots differ from the
+    XLA path's by the documented ~3e-3 rel envelope.  Kept as a
+    capability for quieter hardware; the XLA two-stage path (14 GSPS
+    honest) remains the default."""
     from clenabled_tpu.dsp import planar
 
     if x.re.shape[-1] % fft_size:
         raise ValueError("stream length must be a multiple of fft_size")
+    if use_pallas and not _fused_fft_supported(x, fft_size):
+        use_pallas = False
+    if use_pallas:
+        from clenabled_tpu.dsp import pallas_kernels
+        import jax
+
+        interpret = jax.default_backend() == "cpu"
+        n = x.re.shape[-1]
+        window = _check_window(window, fft_size)
+        xr, xi = x.re, x.im
+        if direction != FORWARD and shift:
+            # reverse shift swaps input halves at load (clFFT_impl.cc:549)
+            h = fft_size // 2
+            v = x.re.reshape(-1, fft_size)
+            w2 = x.im.reshape(-1, fft_size)
+            xr = jnp.concatenate([v[:, h:], v[:, :h]], -1).reshape(n)
+            xi = jnp.concatenate([w2[:, h:], w2[:, :h]], -1).reshape(n)
+        yr, yi = pallas_kernels.fft_batched_fused(
+            xr, xi, fft_size, inverse=direction != FORWARD,
+            window=window, interpret=interpret)
+        if direction == FORWARD and shift:
+            h = fft_size // 2
+            yr2 = yr.reshape(-1, fft_size)
+            yi2 = yi.reshape(-1, fft_size)
+            yr = jnp.concatenate([yr2[:, h:], yr2[:, :h]], -1).reshape(n)
+            yi = jnp.concatenate([yi2[:, h:], yi2[:, :h]], -1).reshape(n)
+        return planar.PC(yr, yi)
     shp = x.re.shape[:-1] + (-1, fft_size)
     out = fft_planar(planar.PC(x.re.reshape(shp), x.im.reshape(shp)),
                      direction=direction, window=window, shift=shift)

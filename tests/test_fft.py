@@ -89,3 +89,38 @@ def test_window_length_validated():
 
     with pytest.raises(ValueError):
         clfft.fft(cplx(2, 128), clfft.FORWARD, window=win.hamming(64))
+
+
+def test_fft_stream_planar_pallas_route_matches_xla():
+    """Round-4 fused-FFT routing: fft_stream_planar(use_pallas=True) must
+    match the XLA path for every direction/shift/window combination the
+    block layer uses (interpret mode)."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import fft as dsp_fft
+    from clenabled_tpu.dsp import planar, window as win_mod
+
+    rng = np.random.default_rng(13)
+    size = 1024                       # n2 = 8, the smallest routed size
+    n = size * 6
+    x = planar.PC(jnp.asarray(rng.standard_normal(n), jnp.float32),
+                  jnp.asarray(rng.standard_normal(n), jnp.float32))
+    w = win_mod.blackman_harris(size)
+    for direction in (dsp_fft.FORWARD, dsp_fft.REVERSE):
+        for shift in (False, True):
+            for window in (None, w):
+                got = dsp_fft.fft_stream_planar(
+                    x, size, direction=direction, window=window,
+                    shift=shift, use_pallas=True)
+                want = dsp_fft.fft_stream_planar(
+                    x, size, direction=direction, window=window,
+                    shift=shift, use_pallas=False)
+                scale = float(np.abs(np.asarray(want.re)).max())
+                np.testing.assert_allclose(
+                    np.asarray(got.re), np.asarray(want.re),
+                    rtol=1e-4, atol=1e-4 * scale,
+                    err_msg=f"dir={direction} shift={shift} "
+                            f"win={window is not None}")
+                np.testing.assert_allclose(
+                    np.asarray(got.im), np.asarray(want.im),
+                    rtol=1e-4, atol=1e-4 * scale)
