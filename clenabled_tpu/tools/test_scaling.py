@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--ospfb", action="store_true",
                     help="weak scaling of the time-sharded FUSED "
                     "oversampled PFB (ring-ppermute OS_TAIL_LEN halo)")
+    ap.add_argument("--xcorr", action="store_true",
+                    help="weak scaling of the window-parallel sharded TD "
+                    "xcorr (windows grow with the mesh; zero collectives)")
+    ap.add_argument("--windows-per-chip", type=int, default=8)
+    ap.add_argument("--signal-length", type=int, default=8192)
+    ap.add_argument("--max-shift", type=int, default=512)
     args = ap.parse_args()
 
     if args.cpu:
@@ -51,6 +57,9 @@ def main() -> None:
         return
     if args.ospfb:
         _ospfb_scaling(args)
+        return
+    if args.xcorr:
+        _xcorr_scaling(args)
         return
 
     import jax
@@ -169,6 +178,58 @@ def _xengine_scaling(args) -> None:
               f"{per_chip:8.3f} /chip   efficiency {per_chip/base*100:5.1f}%")
 
 
+
+
+def _xcorr_scaling(args) -> None:
+    """Weak scaling of the window-parallel sharded TD xcorr (round 4):
+    analysis windows grow with the mesh, zero collectives in the hot
+    path — efficiency measures pure SPMD overhead."""
+    import time
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from clenabled_tpu.sharding import make_sharded_td_xcorr
+    from clenabled_tpu.tools._timing import _fence, slope_per_call
+
+    avail = len(jax.devices())
+    sizes = [d for d in args.devices if d <= avail]
+    ns, L, ms = 2, args.signal_length, args.max_shift
+    print(f"platform: {jax.devices()[0].platform} x{avail}   "
+          f"TD xcorr windows/chip: {args.windows_per_chip}  "
+          f"signal: {L}  max_shift: {ms}")
+    rng = np.random.default_rng(0)
+    base = None
+    for d in sizes:
+        mesh = Mesh(np.array(jax.devices()[:d]), ("shard",))
+        apply = make_sharded_td_xcorr(mesh, ms)
+        b = args.windows_per_chip * d
+        mags = jax.device_put(
+            np.abs(rng.standard_normal((ns, b, L))).astype(np.float32))
+        res = apply(mags)
+        _fence(res.corr)
+
+        def reps(k):
+            for _ in range(k):
+                res = apply(mags)
+            _fence(res.corr)
+
+        k1, k2 = max(2, args.iterations // 8), args.iterations
+        t0 = time.perf_counter(); reps(k1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); reps(k2); t2 = time.perf_counter() - t0
+        step_s = slope_per_call(t1, k1, t2, k2)
+        total = b * L / step_s / 1e6
+        per_chip = total / d
+        if base is None:
+            base = per_chip
+        print(f"  {d} device(s), B={b}: {total:10.1f} MSPS of windowed "
+              f"stream   {per_chip:10.1f} /chip   efficiency "
+              f"{per_chip / base * 100:5.1f}%")
 
 
 def _ospfb_scaling(args) -> None:
