@@ -136,9 +136,11 @@ def make_fir_filter_planar_xla(taps, decimation: int = 1):
 
 
 def make_fir_filter_planar(taps, decimation: int = 1, tile_rows: int = 256,
-                           interpret: bool = False):
-    """Planar/TPU streaming direct FIR using the single-pass Pallas kernel
-    (dsp.pallas_kernels.fir_direct — ~150× the XLA conv lowering on TPU).
+                           interpret: bool = False, use_mxu: bool = True):
+    """Planar/TPU streaming direct FIR using the single-pass Pallas
+    kernels: the banded-matmul MXU form by default (round 4,
+    pallas_kernels.fir_direct_mxu — the VPU shifted-MAC chain was the
+    floor at deep tap counts), fir_direct (VPU) with ``use_mxu=False``.
 
     Real taps only (complex taps: two planar FIRs or the OFA path).
     apply((hist_r, hist_i), frame: planar.PC) -> (state, planar.PC); frame
@@ -154,16 +156,19 @@ def make_fir_filter_planar(taps, decimation: int = 1, tile_rows: int = 256,
         z = jnp.zeros((ntaps - 1,), jnp.float32)
         return (z, jnp.zeros_like(z))
 
+    kern = (pallas_kernels.fir_direct_mxu if use_mxu
+            else pallas_kernels.fir_direct)
+
     @jax.jit
     def apply(state, frame):
         xr, xi = frame.re, frame.im
         hr, hi = state
         fr = jnp.concatenate([hr, xr])
         fi = jnp.concatenate([hi, xi])
-        yr = pallas_kernels.fir_direct(fr, taps_np, tile_rows=tile_rows,
-                                       interpret=interpret)
-        yi = pallas_kernels.fir_direct(fi, taps_np, tile_rows=tile_rows,
-                                       interpret=interpret)
+        yr = kern(fr, taps_np, tile_rows=tile_rows,
+                  interpret=interpret)
+        yi = kern(fi, taps_np, tile_rows=tile_rows,
+                  interpret=interpret)
         if decimation > 1:
             yr, yi = yr[::decimation], yi[::decimation]
         new_hr = fr[fr.shape[-1] - (ntaps - 1):]

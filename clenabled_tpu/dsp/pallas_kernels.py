@@ -171,6 +171,116 @@ def _atan2_poly(y, x):
     return jnp.where(y < 0.0, -r, r)
 
 
+def _fir_mxu_kernel(x_hbm, mq_ref, out_ref, scratch, sems, *, tile_rows,
+                    nq):
+    """Banded-matmul direct FIR (round 4): the flagship's branch-stage
+    trick applied to the plain FIR — y tile = Σ_q feed[q:q+tile] @ M_q
+    with M_q the banded shift-and-scale matrices (_fx_band_matrices at
+    m=1).  Moves the ~2·ntaps MACs/sample from the VPU (fir_direct's
+    roll/select chain, the measured floor at deep taps) onto the MXU;
+    double-buffered tile DMA so tile i+1's read overlaps tile i's dots."""
+    i = pl.program_id(0)
+    num = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def copy(j, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(j * tile_rows, tile_rows + nq), :],
+            scratch.at[s], sems.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        copy(0, 0).start()
+
+    multi = not isinstance(num, int) or num > 1
+    if multi:
+        @pl.when(i + 1 < num)
+        def _():
+            copy(i + 1, 1 - slot).start()
+
+    @pl.when(i == 0)
+    def _():
+        copy(0, 0).wait()
+
+    if multi:
+        @pl.when(i > 0)
+        def _():
+            copy(i, slot).wait()
+
+    for s in range(2):                    # static slot unroll (see fx v2)
+        @pl.when(slot == s)
+        def _(s=s):
+            if nq <= 8:
+                acc = jnp.dot(scratch[s, 0:tile_rows], mq_ref[0],
+                              preferred_element_type=jnp.float32)
+                for q in range(1, nq):
+                    acc = acc + jnp.dot(scratch[s, q:q + tile_rows],
+                                        mq_ref[q],
+                                        preferred_element_type=jnp.float32)
+            else:
+                # deep taps: fori with dynamic f32 sublane starts (lowers
+                # for f32 memrefs; the unrolled form crashes the remote
+                # Mosaic build at deep nq — round-3/4 envelope)
+                def body(q, a):
+                    return a + jnp.dot(
+                        scratch[s, pl.ds(q, tile_rows), :], mq_ref[q],
+                        preferred_element_type=jnp.float32)
+
+                acc = jax.lax.fori_loop(
+                    0, nq, body,
+                    jnp.zeros((tile_rows, LANES), jnp.float32))
+            out_ref[:, :] = acc
+
+
+def fir_direct_mxu(x, taps, tile_rows: int = 512, interpret: bool = False):
+    """Direct-form FIR on the MXU: y[n] = Σ_k taps[k]·x[n+K−1−k] over a
+    float32 stream with K−1 history samples at the front (fir_direct's
+    contract) — but as nq = ⌈(K−1)/128⌉+1 banded [128,128] matmuls per
+    tile instead of K VPU shifted MACs.  At 241 taps this moves the
+    kernel from the VPU floor (~2.1 GSPS) to the DMA/MXU regime.
+
+    x: [K−1 + n] float32, n a multiple of 128·tile_rows (after the
+    caller's padding); returns [n] float32.
+    """
+    taps = np.asarray(taps, np.float32)
+    ntaps = int(taps.shape[-1])
+    n = x.shape[-1] - (ntaps - 1)
+    rows = n // LANES
+    tile = min(tile_rows, rows)
+    while rows % tile:
+        tile //= 2
+    if tile < 1:
+        raise ValueError(f"frame length {n} must be a multiple of {LANES}")
+    # band matrices at m=1: acc[r·128+λ] = Σ_c taps[c]·feed[r·128+λ+(K−1−c)]
+    # — exactly the fir_direct definition with feed = x (no realignment)
+    band = jnp.asarray(_fx_band_matrices(taps[:, None], 1))
+    nq = band.shape[0]
+    pad = (rows + nq) * LANES - x.shape[-1]
+    xp = jnp.concatenate([x, jnp.zeros((pad,), jnp.float32)])
+    xp = xp.reshape(rows + nq, LANES)
+    return pl.pallas_call(
+        partial(_fir_mxu_kernel, tile_rows=tile, nq=nq),
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile + nq, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * LANES * nq,
+            bytes_accessed=4 * (x.size + n),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, band).reshape(n)
+
+
 def _qdemod_kernel(last_ref, xr_ref, xi_ref, o_ref, carry, *, gain):
     """Fused quadrature demod: y[n] = gain·atan2(im, re) of
     x[n]·conj(x[n−1]).  The one-sample shift is a lane roll + row carry

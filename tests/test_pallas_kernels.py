@@ -608,3 +608,21 @@ def test_fft_batched_fused_matches_planar():
     np.testing.assert_allclose(np.asarray(got_r).reshape(3, 2048),
                                np.asarray(want.re), rtol=1e-4,
                                atol=1e-4 * scale)
+
+
+def test_fir_direct_mxu_matches_vpu():
+    """Round-4 banded-matmul FIR: fir_direct_mxu must match fir_direct
+    (the VPU shifted-MAC form) for shallow and DEEP (nq > 8, fori path)
+    tap counts, including multi-tile grids."""
+    rng = np.random.default_rng(31)
+    for ntaps, tile in [(49, 8), (241, 8), (1600, 4)]:
+        taps = rng.standard_normal(ntaps).astype(np.float32)
+        n = 128 * 32
+        x = rng.standard_normal(ntaps - 1 + n).astype(np.float32)
+        want = np.asarray(pallas_kernels.fir_direct(
+            x, taps, tile_rows=8, interpret=True))
+        got = np.asarray(pallas_kernels.fir_direct_mxu(
+            x, taps, tile_rows=tile, interpret=True))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5 * scale,
+                                   err_msg=f"ntaps {ntaps}")
