@@ -232,12 +232,19 @@ def _fir_mxu_kernel(x_hbm, mq_ref, out_ref, scratch, sems, *, tile_rows,
             out_ref[:, :] = acc
 
 
-def fir_direct_mxu(x, taps, tile_rows: int = 512, interpret: bool = False):
+def fir_direct_mxu(x, taps, tile_rows: int = 512, interpret: bool = False,
+                   precision=None):
     """Direct-form FIR on the MXU: y[n] = Σ_k taps[k]·x[n+K−1−k] over a
     float32 stream with K−1 history samples at the front (fir_direct's
     contract) — but as nq = ⌈(K−1)/128⌉+1 banded [128,128] matmuls per
-    tile instead of K VPU shifted MACs.  At 241 taps this moves the
-    kernel from the VPU floor (~2.1 GSPS) to the DMA/MXU regime.
+    tile instead of K VPU shifted MACs.  Measured (round 4, job 327):
+    **17.8 GSPS @ 241 taps (vs ~5 VPU), 17.2 @ 1600 (vs 0.83 — 21-32×)**
+    — tap-count-independent, DMA-bound.
+
+    Precision: like every MXU path, the default runs f32 dots as one
+    bf16-operand pass (~3e-3 rel vs the VPU kernel's exact-f32 MACs —
+    measured 2.4e-3 on-chip); pass precision="float32" for exact
+    multi-pass sums (see fx_correlate_streams_v2's audit).
 
     x: [K−1 + n] float32, n a multiple of 128·tile_rows (after the
     caller's padding); returns [n] float32.
@@ -258,6 +265,15 @@ def fir_direct_mxu(x, taps, tile_rows: int = 512, interpret: bool = False):
     pad = (rows + nq) * LANES - x.shape[-1]
     xp = jnp.concatenate([x, jnp.zeros((pad,), jnp.float32)])
     xp = xp.reshape(rows + nq, LANES)
+    if precision is not None:
+        # binds at trace time, like fx_correlate_streams_v2's kwarg
+        with jax.default_matmul_precision(precision):
+            return _fir_mxu_call(xp, band, tile, nq, rows, n, x.size,
+                                 interpret)
+    return _fir_mxu_call(xp, band, tile, nq, rows, n, x.size, interpret)
+
+
+def _fir_mxu_call(xp, band, tile, nq, rows, n, xsize, interpret):
     return pl.pallas_call(
         partial(_fir_mxu_kernel, tile_rows=tile, nq=nq),
         grid=(rows // tile,),
@@ -274,7 +290,7 @@ def fir_direct_mxu(x, taps, tile_rows: int = 512, interpret: bool = False):
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * LANES * nq,
-            bytes_accessed=4 * (x.size + n),
+            bytes_accessed=4 * (xsize + n),
             transcendentals=0,
         ),
         interpret=interpret,
