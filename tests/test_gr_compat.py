@@ -402,3 +402,26 @@ def test_wrap_bucketing_respects_decimator_output_capacity(fake_gr):
     out2 = np.empty(q * 4, np.complex64)
     n2 = blk.general_work([x], [out2])
     assert n2 == 2 * q          # 4q in → 2q out
+
+
+def test_wrap_batched_decimator_matches_percall(fake_gr):
+    """Batched adapter + rate != 1: the drain queue must emit the
+    decimated stream identically to the per-call adapter."""
+    from clenabled_tpu.blocks import LowPassFilter
+    from clenabled_tpu.gr_compat import wrap
+
+    def mk():
+        return LowPassFilter(4, 1.0, 1e6, 100e3, 50e3)
+
+    q = mk().quantum
+    rng = np.random.default_rng(6)
+    n = max(1 << 16, q * 64)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    want = _drive(wrap(mk(), batch_frames=1), x, offer=1 << 14,
+                  out_space=1 << 14)
+    got = _drive(wrap(mk(), batch_frames=3), x, offer=1 << 14,
+                 out_space=1 << 14)
+    m = min(len(want), len(got))
+    assert m > 0
+    np.testing.assert_allclose(got[:m], want[:m], rtol=1e-5, atol=1e-6)
