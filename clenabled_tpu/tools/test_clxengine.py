@@ -35,6 +35,9 @@ def main() -> None:
                     help="raw IChar int8 operands on the MXU s8 path "
                     "(exact integer accumulation; implies --stacked)")
     ap.add_argument("--iterations", type=int, default=50)
+    ap.add_argument("--percall", action="store_true",
+                    help="per-dispatch timing (the reference's style); "
+                         "default: device-side chained reps (lax.scan)")
     args = ap.parse_args()
 
     from clenabled_tpu.tools import _timing as T
@@ -59,6 +62,9 @@ def main() -> None:
     t = args.integration
     it = args.iterations
     nb = xengine.num_baselines(s)
+    timer = (T.time_fn if args.percall
+             else (lambda fn, *a, iterations: T.time_fn_scan(
+                 fn, *a, reps=min(32, iterations))))
     print(f"platform: {T.platform_banner()}   stations: {s}  pols: {p}  "
           f"channels: {f}  integration: {t}  baselines: {nb}")
 
@@ -79,7 +85,7 @@ def main() -> None:
         fn = jax.jit(lambda r, i2: xengine.xengine_correlate_stacked(
             r, i2, npol=p, scale=scale,
             use_pallas=False if args.no_pallas else None))
-        secs = T.time_fn(fn, zr, zi, iterations=it)
+        secs = timer(fn, zr, zi, iterations=it)
     elif args.channel_major:
         import jax.numpy as jnp
 
@@ -91,7 +97,7 @@ def main() -> None:
         fn = jax.jit(lambda r, i2: xengine.xengine_correlate_channel_major(
             r, i2, npol=p,
             compute_dtype=jnp.bfloat16 if args.bf16 else None))
-        secs = T.time_fn(fn, zr, zi, iterations=it)
+        secs = timer(fn, zr, zi, iterations=it)
     elif args.planar:
         from clenabled_tpu.dsp import planar
 
@@ -99,13 +105,13 @@ def main() -> None:
         zi = jax.device_put(rng.standard_normal((t, s, f, p)).astype(np.float32))
         fn = jax.jit(lambda r, i2: xengine.xengine_correlate_planar(
             planar.PC(r, i2), npol=p))
-        secs = T.time_fn(fn, zr, zi, iterations=it)
+        secs = timer(fn, zr, zi, iterations=it)
     else:
         z = jax.device_put(
             (rng.standard_normal((t, s, f, p))
              + 1j * rng.standard_normal((t, s, f, p))).astype(np.complex64))
         fn = jax.jit(lambda x: xengine.xengine_correlate(x, npol=p))
-        secs = T.time_fn(fn, z, iterations=it)
+        secs = timer(fn, z, iterations=it)
 
     samples = t * f  # per-station complex samples per integration
     total = samples * s
