@@ -224,39 +224,43 @@ def time_stateful_scan(fn, state, *args, reps=64):
 
 
 def time_fn_scan(fn, *args, reps=64):
-    """time_stateful_scan for stateless kernels: steps are serialized by
-    folding the carried accumulator into the first input's first element
-    (×1e-30 — numerically invisible, but a real data dependency, so XLA
-    cannot hoist the loop-invariant computation out of the scan)."""
+    """time_stateful_scan for stateless kernels.  Each step consumes a
+    DISTINCT rolled copy of the inputs as scan xs: with a constant input
+    XLA unrolls the scan and fuses consecutive fusible (elementwise)
+    steps into one read→registers→write pass, eliding 1−1/k of the HBM
+    traffic — measured 4× OVER the HBM roof before this fix (probe 343,
+    CLAUDE.md round-4 findings).  Streaming distinct slices per step
+    forces real reads; per-step outputs stack as ys (real writes).
+    reps shrink to keep the stacked inputs+outputs within the memory
+    cap."""
     import jax
     import jax.numpy as jnp
 
-    def perturb(x, eps):
-        if hasattr(x, "re") and hasattr(x, "im"):       # planar.PC
-            return type(x)(x.re.at[..., 0].add(eps.astype(x.re.dtype)),
-                           x.im)
-        return x.at[..., 0].add(eps.astype(x.dtype))
-
     probe_out = fn(*args)
-    use_ys = _out_bytes(probe_out) * reps <= _YS_BYTES_CAP
+    in_bytes = _out_bytes(args)
+    per_step = in_bytes + _out_bytes(probe_out)
+    if per_step:
+        reps = max(4, min(reps, int(_YS_BYTES_CAP // per_step)))
+
+    def stack_rolled(a, k):
+        return jax.tree.map(
+            lambda x: jnp.stack([jnp.roll(x, 8 * j, axis=-1)
+                                 for j in range(k)]), a)
 
     def make(k):
-        def body(acc, _, a=()):
-            eps = acc * jnp.float32(1e-30)
-            out = fn(perturb(a[0], eps), *a[1:])
-            if use_ys:
-                # the carry must still DEPEND on out (the perturbation
-                # chain is what stops loop-invariant hoisting)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                return acc + leaf.astype(jnp.float32).ravel()[0], out
-            return acc + _full_sum(out), None
+        def body(acc, xs_step):
+            out = fn(*xs_step)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return acc + leaf.astype(jnp.float32).ravel()[0], out
 
-        return jax.jit(lambda *a: jax.lax.scan(
-            lambda c, x: body(c, x, a), jnp.float32(0), None, length=k))
+        return jax.jit(lambda xs: jax.lax.scan(
+            body, jnp.float32(0), xs, length=k))
 
     k1 = max(1, reps // 4)
     k2 = reps
     f1, f2 = make(k1), make(k2)
-    _fence(f1(*args))
-    _fence(f2(*args))
-    return _scan_slope(lambda: f1(*args), lambda: f2(*args), k1, k2)
+    xs1 = tuple(stack_rolled(a, k1) for a in args)
+    xs2 = tuple(stack_rolled(a, k2) for a in args)
+    _fence(f1(xs1))
+    _fence(f2(xs2))
+    return _scan_slope(lambda: f1(xs1), lambda: f2(xs2), k1, k2)
