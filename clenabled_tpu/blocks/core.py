@@ -68,7 +68,7 @@ class Fft(Block):
 
     def __init__(self, fft_size: int, direction: int = dsp_fft.FORWARD,
                  window=None, shift: bool = False, num_streams: int = 1,
-                 name: str = "", **legacy):
+                 name: str = "", use_pallas: bool = False, **legacy):
         strip_legacy_kwargs(legacy, self)
         if window is not None and len(window) != fft_size:
             raise ValueError("window length must equal fft_size")
@@ -80,6 +80,9 @@ class Fft(Block):
         self.quantum = fft_size
         self.n_inputs = num_streams
         self.n_outputs = num_streams
+        # opt-in fused single-HBM-pass Pallas FFT for planar streams
+        # (round 4 — see dsp.fft.fft_stream_planar's measured verdict)
+        self.use_pallas = use_pallas
 
     def apply(self, state, inputs):
         from clenabled_tpu.dsp import planar
@@ -88,7 +91,8 @@ class Fft(Block):
             if isinstance(x, planar.PC):
                 return dsp_fft.fft_stream_planar(
                     x, self.fft_size, direction=self.direction,
-                    window=self.window, shift=self.shift)
+                    window=self.window, shift=self.shift,
+                    use_pallas=self.use_pallas)
             return dsp_fft.fft_stream(x, self.fft_size,
                                       direction=self.direction,
                                       window=self.window, shift=self.shift)
