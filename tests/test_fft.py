@@ -124,3 +124,26 @@ def test_fft_stream_planar_pallas_route_matches_xla():
                 np.testing.assert_allclose(
                     np.asarray(got.im), np.asarray(want.im),
                     rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_fft_block_use_pallas_kwarg():
+    """The Fft block's opt-in fused-kernel surface matches the default
+    XLA route on planar streams (interpret mode)."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu import blocks
+    from clenabled_tpu.dsp import planar
+
+    rng = np.random.default_rng(3)
+    n = 1024 * 4
+    x = planar.PC(jnp.asarray(rng.standard_normal(n), jnp.float32),
+                  jnp.asarray(rng.standard_normal(n), jnp.float32))
+    b0 = blocks.Fft(1024)
+    b1 = blocks.Fft(1024, use_pallas=True)
+    _, (want,), _ = b0.apply(b0.init_state(), [x])
+    _, (got,), _ = b1.apply(b1.init_state(), [x])
+    scale = float(np.abs(np.asarray(want.re)).max())
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                               rtol=1e-4, atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                               rtol=1e-4, atol=1e-4 * scale)
