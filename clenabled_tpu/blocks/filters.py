@@ -45,13 +45,18 @@ class Filter(Block):
     default frequency-domain)."""
 
     def __init__(self, decimation: int, taps, use_time: bool = False,
-                 planar: bool = False, name: str = "", **legacy):
+                 planar: bool = False, precision=None, name: str = "",
+                 **legacy):
         strip_legacy_kwargs(legacy, self)
         self.name = name
         self.decimation = decimation
         self.rate = Fraction(1, decimation)
         self.use_time = use_time
         self.planar = planar
+        # precision="float32" forces exact multi-pass f32 dots on the
+        # MXU TD path (default: single bf16-operand pass, ~2.4e-3 rel —
+        # the reference's f32 accuracy needs the explicit opt-in)
+        self.precision = precision
         self._set(np.asarray(taps, np.float32))
 
     def _set(self, taps):
@@ -59,14 +64,15 @@ class Filter(Block):
         ntaps = int(np.shape(taps)[-1])
         if self.use_time:
             if self.planar:
-                import jax
+                from clenabled_tpu.runtime import device
 
-                if (jax.default_backend() != "cpu"
+                if (device.is_tpu_backend()
                         and not np.iscomplexobj(taps)):
                     # TPU fast path: Pallas shifted-MAC FIR (~150× XLA conv);
                     # needs frames in multiples of 128·tile_rows
                     self._init, self._apply = dsp_fir.make_fir_filter_planar(
-                        taps, self.decimation, tile_rows=8)
+                        taps, self.decimation, tile_rows=8,
+                        precision=getattr(self, "precision", None))
                     self.quantum = math.lcm(1024, self.decimation)
                     self._state_kind, self._state_len = "td", ntaps - 1
                     return

@@ -60,7 +60,9 @@ def quadrature_demod_planar(x, gain: float, last_sample=None,
         last_sample = planar.PC(x.re[..., :1], x.im[..., :1])
     n = x.re.shape[-1]
     if use_pallas is None:
-        use_pallas = (jax.default_backend() not in ("cpu",)
+        from clenabled_tpu.runtime import device
+
+        use_pallas = (device.is_tpu_backend()
                       and x.re.ndim == 1 and n % 1024 == 0)
     if use_pallas:
         from clenabled_tpu.dsp import pallas_kernels

@@ -136,11 +136,18 @@ def make_fir_filter_planar_xla(taps, decimation: int = 1):
 
 
 def make_fir_filter_planar(taps, decimation: int = 1, tile_rows: int = 256,
-                           interpret: bool = False, use_mxu: bool = True):
+                           interpret: bool = False, use_mxu: bool = True,
+                           precision=None):
     """Planar/TPU streaming direct FIR using the single-pass Pallas
     kernels: the banded-matmul MXU form by default (round 4,
     pallas_kernels.fir_direct_mxu — the VPU shifted-MAC chain was the
     floor at deep tap counts), fir_direct (VPU) with ``use_mxu=False``.
+
+    The MXU default runs f32 dots as a single bf16-operand pass
+    (~2.4e-3 rel measured on-chip vs the VPU kernel's exact-f32 MACs);
+    pass ``precision="float32"`` for exact multi-pass f32 sums on the MXU
+    path (forwarded to fir_direct_mxu; ignored by the VPU kernel, whose
+    MACs are already exact).
 
     Real taps only (complex taps: two planar FIRs or the OFA path).
     apply((hist_r, hist_i), frame: planar.PC) -> (state, planar.PC); frame
@@ -156,8 +163,13 @@ def make_fir_filter_planar(taps, decimation: int = 1, tile_rows: int = 256,
         z = jnp.zeros((ntaps - 1,), jnp.float32)
         return (z, jnp.zeros_like(z))
 
-    kern = (pallas_kernels.fir_direct_mxu if use_mxu
-            else pallas_kernels.fir_direct)
+    if use_mxu:
+        def kern(x, t, tile_rows, interpret):
+            return pallas_kernels.fir_direct_mxu(
+                x, t, tile_rows=tile_rows, interpret=interpret,
+                precision=precision)
+    else:
+        kern = pallas_kernels.fir_direct
 
     @jax.jit
     def apply(state, frame):

@@ -130,7 +130,7 @@ def fir_direct(x, taps, tile_rows: int = 256, interpret: bool = False):
                 ntaps=ntaps),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalar tap reads
         ],
         out_specs=pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
@@ -252,12 +252,15 @@ def fir_direct_mxu(x, taps, tile_rows: int = 512, interpret: bool = False,
     taps = np.asarray(taps, np.float32)
     ntaps = int(taps.shape[-1])
     n = x.shape[-1] - (ntaps - 1)
+    if n <= 0 or n % LANES:
+        # mirror fir_direct's check — a misaligned stream would otherwise
+        # die later in an opaque reshape (and n < LANES in a /0)
+        raise ValueError(f"frame length {n} must be a positive multiple "
+                         f"of {LANES}")
     rows = n // LANES
     tile = min(tile_rows, rows)
     while rows % tile:
         tile //= 2
-    if tile < 1:
-        raise ValueError(f"frame length {n} must be a multiple of {LANES}")
     # band matrices at m=1: acc[r·128+λ] = Σ_c taps[c]·feed[r·128+λ+(K−1−c)]
     # — exactly the fir_direct definition with feed = x (no realignment)
     band = jnp.asarray(_fx_band_matrices(taps[:, None], 1))
@@ -278,7 +281,7 @@ def _fir_mxu_call(xp, band, tile, nq, rows, n, xsize, interpret):
         partial(_fir_mxu_kernel, tile_rows=tile, nq=nq),
         grid=(rows // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0),
@@ -851,7 +854,7 @@ def fx_correlate_streams(comps, hist, taps_rm, num_antennas: int, m: int,
         partial(_fx_stream_kernel, tile_rows=tile_rows, halo=halo, w=w,
                 a=a, m=m, fd_pairs=fd_pairs, xe_pairs=xe_pairs),
         grid=(out_rows // tile_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=(
             pl.BlockSpec((fd_rows, LANES), lambda i: (0, 0),
@@ -1133,7 +1136,7 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
                 karatsuba=karatsuba, mxu_dtype=mxu_dtype,
                 branch_mxu=branch_mxu),
         grid=(out_rows // tile_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(
             pl.BlockSpec((fd_rows, LANES), lambda i: (0, 0),
@@ -1489,11 +1492,11 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
         partial(_pfb_os_kernel, tile_rows=tile_rows, halo=halo, ell=ell,
                 nq=nq, mxu_dtype=mxu_dtype),
         grid=(rows // tile_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),  # manual contiguous DMA
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # manual contiguous DMA
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rows * ell, LANES), jnp.float32),
@@ -1579,7 +1582,7 @@ def pfb_channelize_packed(y_packed, hr, num_antennas: int, m: int,
         partial(_pfb_kernel, tile=tile, w=w),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # y stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),   # y stays in HBM; manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hr
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dft block matrix
         ],
@@ -1810,7 +1813,7 @@ def ofs_filter_planar(xr, xi, tail_r, tail_i, plan: OfsPlan,
         partial(_ofs_kernel, stride_t=plan.out_rows, win=plan.win,
                 win_pad=plan.win_pad, ov=plan.ov_rows),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
         out_specs=(
             pl.BlockSpec((plan.out_rows, LANES), lambda i: (i, 0),
@@ -2007,7 +2010,7 @@ def _xengine_gram_stacked_call(zr, zi, t_tile: int, interpret: bool):
         partial(_xengine_gram_kernel, nt=nt, t_tile=t_tile, nf=f,
                 acc_dtype=acc_dtype, kb=kb, tri_blocks=tri_blocks),
         grid=(f, nt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(
             pl.BlockSpec((1, nbt, LANES, LANES),
                          lambda i, j: (i, 0, 0, 0)),

@@ -299,7 +299,9 @@ def xengine_correlate_stacked(zr, zi, npol: int = 2,
         zi = zi.astype(compute_dtype)
     integer = jnp.issubdtype(zr.dtype, jnp.integer)
     if use_pallas is None:
-        use_pallas = (jax.default_backend() not in ("cpu",)
+        from clenabled_tpu.runtime import device
+
+        use_pallas = (device.is_tpu_backend()
                       and sp % 128 == 0
                       and zr.dtype in (jnp.int8, jnp.bfloat16))
     if use_pallas:

@@ -314,6 +314,19 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
                                   for y in outs], 1)
                 self._publish(msgs)
 
+        def stop(self):
+            """GR scheduler stop callback (runs at flowgraph termination):
+            drain consumed-but-unprocessed batch frames so their MESSAGES
+            publish and the output queue is complete — without this, up to
+            K-1 pending frames would be silently dropped unless the caller
+            knew to invoke flush() after tb.wait() (ADVICE r4).  Stream
+            samples still queued here have no further work call to emit
+            through, but nothing is lost on the message path and a final
+            producer-driven work call can still drain _outq."""
+            self.flush()
+            base_stop = getattr(gr.basic_block, "stop", None)
+            return base_stop(self) if callable(base_stop) else True
+
         def _work_batched(self, input_items, output_items):
             if not n_in:
                 if block.source_frame is None:

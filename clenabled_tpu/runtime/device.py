@@ -94,6 +94,16 @@ def is_axon() -> bool:
         return False
 
 
+def is_tpu_backend() -> bool:
+    """True when the default JAX backend executes on a TPU — native
+    ``tpu`` or the tunneled ``axon`` PJRT backend.  This is the gate for
+    routing to Mosaic/Pallas TPU kernels: a GPU (or any other non-CPU,
+    non-TPU) backend must NOT take those paths, since the kernels only
+    lower through Mosaic (ADVICE r4: the old ``!= "cpu"`` gates would
+    have sent GPU backends into un-lowerable pallas_calls)."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def device_info() -> list[dict]:
     """Per-device capability summary — the role of `clview`
     (lib/clview.cc:43-246: platform/device ids, clock, compute units,

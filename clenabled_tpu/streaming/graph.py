@@ -361,6 +361,19 @@ class Runner:
 
         return multi_step
 
+    def _ext_ranks(self) -> list[int]:
+        """Expected per-frame feed rank for each external input.  Blocks
+        whose frames are multi-dim (e.g. an X-Engine's [F, T, S] spectra)
+        declare ``in_rank`` (an int, or a {port: int} dict); undeclared
+        ports are flat rank-1 sample streams."""
+        ranks = []
+        for b, p in self._graph._external:
+            r = getattr(b, "in_rank", 1)
+            if isinstance(r, dict):
+                r = r.get(p, 1)
+            ranks.append(int(r))
+        return ranks
+
     def on_message(self, key: str, handler: Callable) -> None:
         """Register a host callback for messages named '<block>.<port>'."""
         self._msg_handlers.setdefault(key, []).append(handler)
@@ -389,8 +402,15 @@ class Runner:
             elif self.auto_dispatch:
                 arrs = [f.re if hasattr(f, "re") and hasattr(f, "im") else f
                         for f in feeds]
+                # a stacked feed has exactly one axis MORE than the
+                # destination block's declared per-frame feed rank
+                # (``in_rank``, default 1 = flat sample stream) — so a
+                # legitimately multi-dim per-frame feed whose leading dim
+                # happens to equal K is no longer mis-detected (ADVICE r4)
+                ranks = self._ext_ranks()
                 stacked = bool(arrs) and all(
-                    np.ndim(a) >= 2 and np.shape(a)[0] == k for a in arrs)
+                    np.ndim(a) == r + 1 and np.shape(a)[0] == k
+                    for a, r in zip(arrs, ranks))
             else:
                 stacked = True
         if not stacked:

@@ -425,3 +425,40 @@ def test_wrap_batched_decimator_matches_percall(fake_gr):
     m = min(len(want), len(got))
     assert m > 0
     np.testing.assert_allclose(got[:m], want[:m], rtol=1e-5, atol=1e-6)
+
+
+def test_wrap_stop_drains_pending_batch_frames(fake_gr):
+    """ADVICE r4: the GR scheduler's stop() callback must drain
+    consumed-but-unprocessed batch frames so their messages publish even
+    when the flowgraph terminates before a full K-frame group forms."""
+    from fractions import Fraction
+
+    import jax.numpy as jnp
+
+    from clenabled_tpu.gr_compat import wrap
+    from clenabled_tpu.streaming.block import Block
+
+    class MeanSink(Block):
+        n_inputs, n_outputs = 1, 0
+        msg_ports = ("mean",)
+
+        def __init__(self):
+            super().__init__()
+            self.quantum = 1024
+            self.rate = Fraction(1)
+
+        def init_state(self):
+            return ()
+
+        def apply(self, state, ins):
+            return state, [], {"mean": jnp.mean(jnp.abs(ins[0]))}
+
+    g = wrap(MeanSink(), batch_frames=4)
+    bf = 8192                       # quantum 1024 → batch frame 8192
+    x = np.concatenate([np.full(bf, v, np.complex64) for v in (1, 2, 3)])
+    for i in range(3):              # 3 frames pend, group of 4 never forms
+        g.general_work([x[i * bf:(i + 1) * bf]], [])
+    assert g.published == []
+    assert g.stop() is True         # scheduler teardown → flush
+    means = [float(np.asarray(m[1][1])) for m in g.published]
+    assert means == [1.0, 2.0, 3.0]

@@ -228,3 +228,55 @@ def test_default_auto_dispatch_contract():
     stacked = np.stack(frames[:k])
     out_k = np.asarray(r3.step(stacked)[tap3]).reshape(-1)
     np.testing.assert_array_equal(out_k, seq[: out_k.size])
+
+
+def test_auto_dispatch_respects_declared_feed_rank():
+    """ADVICE r4: a block whose per-frame feed is legitimately multi-dim
+    declares ``in_rank``; a rank-matching feed whose LEADING dim happens
+    to equal K must run as ONE frame, not be scanned as K frames."""
+    from fractions import Fraction
+
+    import jax.numpy as jnp
+
+    from clenabled_tpu.streaming.block import Block
+
+    class BundleSum(Block):
+        """Consumes a [C, frame] channel bundle per step, emits the
+        channel-summed frame."""
+        n_inputs, n_outputs = 1, 1
+        in_rank = 2
+
+        def __init__(self, c):
+            super().__init__()
+            self.c = c
+            self.quantum = 1
+            self.rate = Fraction(1)
+
+        def init_state(self):
+            return jnp.zeros((), jnp.int32)
+
+        def apply(self, state, ins):
+            return state + 1, (jnp.sum(ins[0], axis=0),), {}
+
+    frame = 1 << 16
+    g = Flowgraph()
+    blk = BundleSum(32)
+    g.external_input(blk)
+    tap = g.tap(blk, name="y")
+    r = g.compile(frame_size=frame)            # auto-dispatch default
+    k = r.steps_per_dispatch
+    assert k >= 2                              # the ambiguity exists
+
+    feed = np.random.default_rng(3).standard_normal(
+        (k, frame)).astype(np.float32)         # C == K bundle, ONE frame
+    out = r.step(feed)
+    # one apply() ran (state is the call counter), summing axis 0
+    assert int(np.asarray(r.states[0])) == 1
+    np.testing.assert_allclose(np.asarray(out[tap]), feed.sum(axis=0),
+                               rtol=1e-5)
+
+    # a genuinely stacked feed for a rank-2 block is rank 3 and scans
+    stacked = np.stack([feed, feed])[:k] if k == 2 else None
+    if stacked is not None:
+        out2 = r.step(stacked)
+        assert np.asarray(out2[tap]).shape == (k, frame)

@@ -1,6 +1,8 @@
 """Pallas fused PFB kernel parity (interpret mode on CPU) vs the XLA path."""
 
 import numpy as np
+import pytest
+import jax.numpy as jnp
 
 from clenabled_tpu.dsp import channelizer, firdes, pallas_kernels, planar
 
@@ -626,3 +628,42 @@ def test_fir_direct_mxu_matches_vpu():
         scale = np.abs(want).max()
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5 * scale,
                                    err_msg=f"ntaps {ntaps}")
+
+
+def test_fir_direct_mxu_rejects_misaligned_frames():
+    """ADVICE r4: fir_direct_mxu validates the frame length up front
+    (mirroring fir_direct) instead of dying in an opaque reshape or a
+    ZeroDivisionError for n < 128."""
+    taps = np.ones(9, np.float32)
+    for bad_n in (100, 64, 0):
+        x = np.zeros(8 + bad_n, np.float32)
+        with pytest.raises(ValueError, match="multiple"):
+            pallas_kernels.fir_direct_mxu(x, taps, interpret=True)
+
+
+def test_make_fir_filter_planar_precision_kwarg():
+    """ADVICE r4: precision="float32" plumbs through make_fir_filter_planar
+    to fir_direct_mxu (exact multi-pass f32 dots on TPU).  On the CPU
+    interpreter dots are exact either way — this pins the plumbing and
+    parity, the on-chip accuracy delta is documented in fir_direct_mxu."""
+    from clenabled_tpu.dsp import fir_filter as dsp_fir
+    from clenabled_tpu.dsp import planar
+
+    rng = np.random.default_rng(7)
+    taps = rng.standard_normal(33).astype(np.float32)
+    n = 128 * 8
+    init, apply_exact = dsp_fir.make_fir_filter_planar(
+        taps, tile_rows=8, interpret=True, precision="float32")
+    _, apply_default = dsp_fir.make_fir_filter_planar(
+        taps, tile_rows=8, interpret=True)
+    fr = planar.PC(jnp.asarray(rng.standard_normal(n), jnp.float32),
+                   jnp.asarray(rng.standard_normal(n), jnp.float32))
+    _, y_exact = apply_exact(init(), fr)
+    _, y_default = apply_default(init(), fr)
+    want = np.convolve(np.concatenate([np.zeros(32), np.asarray(fr.re)]),
+                       taps, mode="valid")
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(y_exact.re), want,
+                               rtol=1e-5, atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(y_default.re), want,
+                               rtol=1e-5, atol=1e-5 * scale)
