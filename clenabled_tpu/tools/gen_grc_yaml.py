@@ -48,6 +48,9 @@ BLOCKS = [
     ("clLog10", "Log10", "[TPU-Enabled]",
      "clenabled_tpu.blocks.Log(nValue=${n}, kValue=${k})",
      [("n", "n (n*log10(x)+k)", "1.0"), ("k", "k", "0.0")]),
+    ("clLog", "Log", "[TPU-Enabled]",
+     "clenabled_tpu.blocks.Log(nValue=${n}, kValue=${k})",
+     [("n", "n (n*log10(x)+k)", "1.0"), ("k", "k", "0.0")]),
     ("clSNR", "SNR Helper", "[TPU-Enabled]",
      "clenabled_tpu.blocks.SNRHelper(nValue=${n}, kValue=${k})",
      [("n", "n", "10.0"), ("k", "k", "0.0")]),
@@ -157,6 +160,7 @@ IO = {
     "clMagPhaseToComplex": ([("mag", "float", None), ("phase", "float", None)],
                             [("out", "complex", None)]),
     "clLog10": ([("in", "float", None)], [("out", "float", None)]),
+    "clLog": ([("in", "float", None)], [("out", "float", None)]),
     "clSNR": ([("in", "float", None)], [("out", "float", None)]),
     "clKernel1To1": ([("in", "complex", None)], [("out", "complex", None)]),
     "clKernel2To1": ([("a", "complex", None), ("b", "complex", None)],
@@ -190,6 +194,7 @@ SIGS = {
     "clComplexToMagPhase": (None, "[np.float32, np.float32]"),
     "clMagPhaseToComplex": ("[np.float32, np.float32]", None),
     "clLog10": ("[np.float32]", "[np.float32]"),
+    "clLog": ("[np.float32]", "[np.float32]"),
     "clSNR": ("[np.float32]", "[np.float32]"),
     "clQuadratureDemod": (None, "[np.float32]"),
     "clxcorrelate_fft_vcf":
