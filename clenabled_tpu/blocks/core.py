@@ -66,6 +66,8 @@ class Fft(Block):
     N parallel in/out ports transformed in one call, exactly like the
     reference's multi-stream loop (lib/clFFT_impl.cc:537)."""
 
+    stateless = True
+
     def __init__(self, fft_size: int, direction: int = dsp_fft.FORWARD,
                  window=None, shift: bool = False, num_streams: int = 1,
                  name: str = "", use_pallas: bool = False, **legacy):
@@ -103,6 +105,8 @@ class Fft(Block):
 class MathOp(Block):
     """clMathOp (lib/clMathOp_impl.cc): elementwise op by
     clMathOpTypes code."""
+
+    stateless = True
 
     def __init__(self, op: int, name: str = "", **legacy):
         strip_legacy_kwargs(legacy, self)
@@ -143,6 +147,8 @@ class MultiplyConst(Block):
     multiplies by a real float scalar.  set_k mirrors the reference's
     runtime-updatable constant."""
 
+    stateless = True   # the constant lives in state but is never updated
+
     def __init__(self, k: float, name: str = "", **legacy):
         strip_legacy_kwargs(legacy, self)
         self.name = name
@@ -169,6 +175,7 @@ class AddConst(MultiplyConst):
 
 
 class _UnaryFn(Block):
+    stateless = True
     _fn = None
 
     def __init__(self, name: str = "", **legacy):
@@ -192,6 +199,8 @@ class ComplexToArg(_UnaryFn):
 class ComplexToMagPhase(Block):
     """c → (mag, phase), two output streams."""
 
+    stateless = True
+
     n_outputs = 2
     out_kinds = ("f", "f")
 
@@ -207,6 +216,7 @@ class ComplexToMagPhase(Block):
 class MagPhaseToComplex(Block):
     """(mag, phase) → c (planar=True emits a planar.PC stream)."""
 
+    stateless = True
     n_inputs = 2
     in_kinds = ("f", "f")
 
@@ -223,6 +233,7 @@ class MagPhaseToComplex(Block):
 class Log(Block):
     """clLog (lib/clLog_impl.cc): n·log10(a)+k via log2."""
 
+    stateless = True
     in_kinds = ("f",)
     out_kinds = ("f",)
 
@@ -240,6 +251,7 @@ class Log(Block):
 class SNRHelper(Block):
     """clSNR (lib/clSNR_impl.cc): |n·log10(a/b)+k|."""
 
+    stateless = True
     n_inputs = 2
     in_kinds = ("f", "f")
     out_kinds = ("f",)
@@ -271,6 +283,9 @@ class Kernel1To1(Block):
     equivalent is a user JAX function (or Pallas kernel) — pass a callable,
     or a Python file path + function name exactly like the reference's
     (filename, kernelFnName) pair."""
+
+    stateless = True   # user kernels are per-sample maps, like the
+    # reference's (no state surface exists in either API)
 
     def __init__(self, fn: Callable | None = None, *,
                  filename: str | None = None, kernelFnName: str | None = None,

@@ -111,6 +111,8 @@ class XCorrelateFFTVCF(Block):
     FFT-vector inputs → N-1 float correlation-magnitude vector outputs.
     input_type=1 expects spectra; 2 raw time series (FFT applied first)."""
 
+    stateless = True
+
     def __init__(self, fft_size: int, num_inputs: int, input_type: int = 1,
                  accumulate_frames: int = 1, name: str = "fd_xcorr",
                  **legacy):

@@ -1856,7 +1856,8 @@ def ofs_filter_planar(xr, xi, tail_r, tail_i, plan: OfsPlan,
 
 
 def _xengine_gram_kernel(zr_hbm, zi_hbm, out_a, out_b, w, acc, sems, *,
-                         nt, t_tile, nf, acc_dtype, kb, tri_blocks):
+                         nt, t_tile, nf, acc_dtype, kb, tri_blocks,
+                         emit_gi=False):
     fch = pl.program_id(0)
     it = pl.program_id(1)
     # slot parity follows the GLOBAL grid index: with nt odd the
@@ -1921,9 +1922,22 @@ def _xengine_gram_kernel(zr_hbm, zi_hbm, out_a, out_b, w, acc, sems, *,
     def _():
         for idx in range(nbt):
             out_a[0, idx] = acc[idx]
-        for i in range(kb):
-            for j in range(kb):
-                out_b[0, i, j] = acc[nbt + i * kb + j]
+        if emit_gi:
+            # round 5: emit the Gram imag part DIRECTLY — gi = ir − irᵀ,
+            # so gi[bi·128+r, bj·128+c] = ir[bi,bj][r,c] − ir[bj,bi][c,r];
+            # triangular consumers only ever read block (bi ≥ bj) rows, so
+            # only the nbt lower-triangle gi blocks leave VMEM (the full
+            # kb² ir grid + a transposed read stay on-chip; Mosaic lowers
+            # the 128×128 last-2-dims transpose for i32/f32 — probe 356).
+            # Replaces the XLA b−bᵀ mirror/double-take epilogue that cost
+            # ~2.4 ms against the kernel's 3.7 at k=4 (BENCH_TPU.md).
+            for n_, (i, j) in enumerate(tri_blocks):
+                out_b[0, n_] = (acc[nbt + i * kb + j]
+                                - acc[nbt + j * kb + i].T)
+        else:
+            for i in range(kb):
+                for j in range(kb):
+                    out_b[0, i, j] = acc[nbt + i * kb + j]
 
 
 def xengine_gram_stacked_blocks(zr, zi, t_tile: int = 4096,
@@ -1939,6 +1953,19 @@ def xengine_gram_stacked_blocks(zr, zi, t_tile: int = 4096,
     block grid with b_full[bi·128+ir, bj·128+ic] = b_blk[bi, bj, ir, ic].
     """
     return _xengine_gram_stacked_call(zr, zi, t_tile, interpret)
+
+
+def xengine_gram_stacked_tri(zr, zi, t_tile: int = 4096,
+                             interpret: bool = False):
+    """Triangular-consumer form (round 5): returns (a_blk [F, nbt, 128,
+    128], gi_blk [F, nbt, 128, 128], tri_blocks) where gi_blk holds the
+    LOWER-TRIANGLE blocks of gi = ir − irᵀ, computed inside the kernel
+    from the VMEM-resident ir grid.  Triangular extraction then needs
+    only two static-index takes (a and gi) instead of three (a, b, bᵀ) —
+    the b-transpose pass never touches HBM.  Reference triangular order:
+    lib/clXEngine_impl.cc:744-790."""
+    return _xengine_gram_stacked_call(zr, zi, t_tile, interpret,
+                                      emit_gi=True)
 
 
 def xengine_gram_stacked(zr, zi, t_tile: int = 4096,
@@ -1987,7 +2014,8 @@ def xengine_gram_stacked(zr, zi, t_tile: int = 4096,
     return a_full, b_full
 
 
-def _xengine_gram_stacked_call(zr, zi, t_tile: int, interpret: bool):
+def _xengine_gram_stacked_call(zr, zi, t_tile: int, interpret: bool,
+                               emit_gi: bool = False):
     f, t, sp = zr.shape
     if sp % LANES:
         raise ValueError(f"S·P must be a multiple of {LANES} (got {sp})")
@@ -2006,20 +2034,28 @@ def _xengine_gram_stacked_call(zr, zi, t_tile: int, interpret: bool):
                  else jnp.float32)
     tri_blocks = tuple((i, j) for i in range(kb) for j in range(i + 1))
     nbt = len(tri_blocks)
+    if emit_gi:
+        b_spec = pl.BlockSpec((1, nbt, LANES, LANES),
+                              lambda i, j: (i, 0, 0, 0))
+        b_shape = jax.ShapeDtypeStruct((f, nbt, LANES, LANES), acc_dtype)
+    else:
+        b_spec = pl.BlockSpec((1, kb, kb, LANES, LANES),
+                              lambda i, j: (i, 0, 0, 0, 0))
+        b_shape = jax.ShapeDtypeStruct((f, kb, kb, LANES, LANES), acc_dtype)
     a_blk, b_blk = pl.pallas_call(
         partial(_xengine_gram_kernel, nt=nt, t_tile=t_tile, nf=f,
-                acc_dtype=acc_dtype, kb=kb, tri_blocks=tri_blocks),
+                acc_dtype=acc_dtype, kb=kb, tri_blocks=tri_blocks,
+                emit_gi=emit_gi),
         grid=(f, nt),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(
             pl.BlockSpec((1, nbt, LANES, LANES),
                          lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((1, kb, kb, LANES, LANES),
-                         lambda i, j: (i, 0, 0, 0, 0)),
+            b_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((f, nbt, LANES, LANES), acc_dtype),
-            jax.ShapeDtypeStruct((f, kb, kb, LANES, LANES), acc_dtype),
+            b_shape,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, t_tile, sp), zr.dtype),

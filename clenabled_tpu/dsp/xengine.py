@@ -309,16 +309,16 @@ def xengine_correlate_stacked(zr, zi, npol: int = 2,
 
         interp = jax.default_backend() == "cpu"
         if output_format == CLXCORR_TRIANGULAR_ORDER:
-            # round 4: gather the triangular baselines STRAIGHT from the
-            # kernel's block layout — the full-matrix mirror assembly
-            # measured 3.6 ms on the k=4/F=128 shape vs 5.0 ms for the
-            # whole kernel (BENCH_TPU.md); gr is symmetric and
-            # gi = b − bᵀ, so every pick resolves to static flat indices
-            # into the lower-triangle a blocks / the full b block grid
-            a_blk, b_blk, tri_blocks = \
-                pallas_kernels.xengine_gram_stacked_blocks(
+            # round 5: the kernel emits gi = ir − irᵀ for the lower-
+            # triangle blocks directly from VMEM (xengine_gram_stacked_tri)
+            # so the extraction is TWO static-index takes — gr from the
+            # symmetric a blocks, gi from the gi blocks.  (Round 4's
+            # three-take form — b and bᵀ gathered separately — cost
+            # ~2.4 ms against the kernel's 3.7 at k=4; the full-matrix
+            # mirror assembly before it cost 3.6.  BENCH_TPU.md.)
+            a_blk, gi_blk, tri_blocks = \
+                pallas_kernels.xengine_gram_stacked_tri(
                     zr, zi, interpret=interp)
-            kb = sp // 128
             idx = {ij: n for n, ij in enumerate(tri_blocks)}
             st = np.asarray(baseline_stations(s))
             p0 = np.arange(npol).repeat(npol)
@@ -331,12 +331,14 @@ def xengine_correlate_stacked(zr, zi, npol: int = 2,
                 [(idx[(x, y)] * 128 + r) * 128 + c if x >= y
                  else (idx[(y, x)] * 128 + c) * 128 + r
                  for x, y, r, c in zip(br, bc, ir, ic)], np.int32)
-            pb = (((br * kb + bc) * 128 + ir) * 128 + ic).astype(np.int32)
-            pbt = (((bc * kb + br) * 128 + ic) * 128 + ir).astype(np.int32)
-            bf = b_blk.reshape(f, -1)
+            # station row-block >= col-block always (i >= j), so every gi
+            # pick lands in an emitted lower-triangle block
+            pgi = np.array(
+                [(idx[(x, y)] * 128 + r) * 128 + c
+                 for x, y, r, c in zip(br, bc, ir, ic)], np.int32)
             gr_t = jnp.take(a_blk.reshape(f, -1), jnp.asarray(pa), axis=1)
-            gi_t = (jnp.take(bf, jnp.asarray(pb), axis=1)
-                    - jnp.take(bf, jnp.asarray(pbt), axis=1))
+            gi_t = jnp.take(gi_blk.reshape(f, -1), jnp.asarray(pgi),
+                            axis=1)
             gr_t = gr_t.astype(jnp.float32)
             gi_t = gi_t.astype(jnp.float32)
             if scale != 1.0:

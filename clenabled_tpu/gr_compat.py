@@ -62,7 +62,8 @@ def _sig_from_kinds(kinds, n_ports):
 
 
 def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
-         max_frames_pow2: int = 17, batch_frames: int | str = "auto"):
+         max_frames_pow2: int = 17, batch_frames: int | str = "auto",
+         pipeline_depth: int | str = "auto"):
     """Adapt a clenabled_tpu Block into a ``gr.basic_block``.
 
     Args:
@@ -93,6 +94,21 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
         dispatch time.  At flowgraph termination up to K-1 consumed
         frames can remain pending; call ``flush()`` (e.g. after
         ``tb.wait()``) to force them through.
+      pipeline_depth: per-call DISPATCH PIPELINING (round 5) — the TPU
+        answer to the reference's async double-buffered worker
+        (lib/clXCorrelate_impl.cc:1641-1698).  JAX dispatch is
+        asynchronous, so the only per-call sync point is fetching
+        results to host; with depth D the adapter keeps up to D-1
+        dispatched frames in flight and fetches the OLDEST one each
+        call, overlapping the host fetch/publish of frame N-1 with the
+        device compute of frame N.  Results therefore trail by up to
+        D-1 work calls (contract-legal for a general block; the
+        reference's async mode trails identically) and ``flush()`` /
+        the stop() callback drain the tail.  ``"auto"`` (default)
+        enables depth 2 for SINK blocks (message-only outputs — the
+        correlator sinks, where trailing publishes are the reference's
+        own async semantics) and keeps stream blocks at depth 1
+        (same-call output, the pre-round-5 behavior).
 
     Returns a gr.basic_block instance ready for ``tb.connect(...)``.
 
@@ -139,6 +155,10 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
         bk = max(1, min(64, (1 << 21) // max(1, bf)))
     else:
         bk = max(1, int(batch_frames))
+    if pipeline_depth == "auto":
+        depth = 2 if (n_in and not n_out) else 1
+    else:
+        depth = max(1, int(pipeline_depth))
 
     def to_device(x, sig_dtype):
         if planar_mode and np.issubdtype(sig_dtype, np.complexfloating):
@@ -168,6 +188,9 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
             self._outq = [[] for _ in range(max(1, n_out))]
             self._scan = None
             self._one = None
+            # per-call pipelining (depth > 1): dispatched-but-unfetched
+            # (outputs, messages) device futures, oldest first
+            self._inflight = []
 
         def forecast(self, noutput_items, ninputs):
             need = int(math.ceil(noutput_items / float(rate))) if n_out else quantum
@@ -214,9 +237,17 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
                 if output_items and len(output_items[0]) < block.source_frame:
                     return 0
             self._state, outs, msgs = self._blk.apply(self._state, ins)
-            self._publish(msgs)
             if n_in:
                 self.consume_each(frames)
+            if depth > 1:
+                # dispatch is async — defer the host fetch so frame N's
+                # device compute overlaps frame N-1's fetch/publish (the
+                # reference's async double-buffered worker, see wrap())
+                self._inflight.append((outs, msgs))
+                if len(self._inflight) >= depth:
+                    self._fetch_oldest()
+                return self._emit(output_items) if n_out else 0
+            self._publish(msgs)
             if not n_out:
                 return 0
             nout = len(_to_numpy(outs[0]).ravel()) if outs else 0
@@ -229,6 +260,18 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
         # run K per lax.scan device call, drain through an output queue.
         # Engages only when the scheduler's offers reach one batch frame;
         # trickling offers keep the per-call path (latency-preserving).
+
+        def _fetch_oldest(self):
+            """Fetch the oldest in-flight dispatch to host: stream
+            outputs into the output queue, messages published in order."""
+            outs, msgs = self._inflight.pop(0)
+            for p, y in enumerate(outs):
+                self._outq[p].append(_to_numpy(y).ravel())
+            self._publish(msgs)
+
+        def _drain_inflight(self):
+            while self._inflight:
+                self._fetch_oldest()
 
         def _q_len(self):
             return sum(len(a) for a in self._outq[0]) if self._outq else 0
@@ -285,6 +328,7 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
             return self._scan
 
         def _dispatch_group(self):
+            self._drain_inflight()   # keep queue order across path mixes
             k = bk
             xs = tuple(
                 to_device(np.stack(self._pend[p][:k]), s)
@@ -297,7 +341,9 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
 
         def flush(self):
             """Force pending consumed-but-unprocessed frames through a
-            per-frame jit (call after tb.wait() to drain the tail)."""
+            per-frame jit and fetch any in-flight dispatches (call after
+            tb.wait() to drain the tail)."""
+            self._drain_inflight()
             if not n_in or not self._pend or not self._pend[0]:
                 return
             if self._one is None:

@@ -41,6 +41,15 @@ class Block:
     in_kinds: tuple[str, ...] | None = None
     out_kinds: tuple[str, ...] | None = None
     debug: bool = False
+    # stateless=True is a CONTRACT: apply() returns the carried state
+    # UNCHANGED and this frame's outputs depend only on (state, inputs) —
+    # no cross-frame dependence.  When every block in a flowgraph is
+    # stateless the Runner's K-frame dispatch vmaps the step across
+    # frames instead of lax.scan-ning it, letting XLA batch the per-frame
+    # kernels into single large ops (round 5: the bare-default block-API
+    # FD xcorr went 0.88 → multi-GSPS from exactly this).  Blocks that
+    # update state (filters, loops, sources, integrators) must keep False.
+    stateless: bool = False
 
     def set_debug(self, debug: bool = True) -> "Block":
         """Per-block debug surface (the reference's ``setDebug`` +
@@ -99,6 +108,8 @@ class Block:
 
 class FunctionBlock(Block):
     """Stateless block from a plain function over its input tuple."""
+
+    stateless = True
 
     def __init__(self, fn: Callable, n_inputs: int = 1, n_outputs: int = 1,
                  rate: Fraction = Fraction(1), quantum: int = 1,

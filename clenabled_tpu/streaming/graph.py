@@ -92,7 +92,8 @@ class Flowgraph:
 
     def compile(self, frame_size: int | None = 8192,
                 precision: str | None = None,
-                steps_per_dispatch: int | str = "auto") -> "Runner":
+                steps_per_dispatch: int | str = "auto",
+                vectorize: bool = True) -> "Runner":
         """Build the Runner.  precision: matmul precision for the whole
         jitted step ("float32" = exact f32 sums on TPU; None = backend
         default, a single bf16-operand MXU pass for f32 matmuls — see
@@ -120,11 +121,22 @@ class Flowgraph:
         order, step, frames, resolved = self._build(frame_size)
         auto = steps_per_dispatch == "auto"
         if auto:
-            steps_per_dispatch = max(1, min(64, (1 << 21) // max(1, resolved)))
+            if (vectorize and self._external
+                    and all(getattr(b, "stateless", False) for b in order)):
+                # all-stateless graphs dispatch through ONE vmapped XLA
+                # program (no scan sequentialization), which keeps scaling
+                # past the scan path's sweet spot — target 2^22 samples
+                # per dispatch (measured: 8192-pt FD xcorr 1.2 GSPS at
+                # K=64 → 5+ GSPS at K>=256, BENCH_TPU.md round 5)
+                steps_per_dispatch = max(1, min(512,
+                                                (1 << 22) // max(1, resolved)))
+            else:
+                steps_per_dispatch = max(1, min(64,
+                                                (1 << 21) // max(1, resolved)))
         return Runner(self, order, step, frames, resolved,
                       precision=precision,
                       steps_per_dispatch=steps_per_dispatch,
-                      auto_dispatch=auto)
+                      auto_dispatch=auto, vectorize=vectorize)
 
     def _resolve_frame_size(self, order, in_edges, ext_ports,
                             frame_size: int | None) -> int:
@@ -318,7 +330,7 @@ class Runner:
     def __init__(self, graph: Flowgraph, order: Sequence[Block],
                  step_fn: Callable, frames: dict, frame_size: int,
                  precision: str | None = None, steps_per_dispatch: int = 1,
-                 auto_dispatch: bool = False):
+                 auto_dispatch: bool = False, vectorize: bool = True):
         if steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
         self._graph = graph
@@ -326,6 +338,9 @@ class Runner:
         self._precision = precision
         self.steps_per_dispatch = steps_per_dispatch
         self.auto_dispatch = auto_dispatch
+        # vectorize=False forces the lax.scan dispatch even for all-
+        # stateless graphs (A/B + debugging surface; semantics identical)
+        self.vectorize = vectorize
         self._step = jax.jit(self._wrap(step_fn),
                              donate_argnums=_donate_state())
         self._step1 = None  # lazily-built single-frame step for remainders
@@ -349,6 +364,25 @@ class Runner:
         k = self.steps_per_dispatch
         if k == 1:
             return step_fn
+
+        if (self.vectorize
+                and all(getattr(b, "stateless", False) for b in self._order)
+                and self._graph._external):
+            # Every block passes its carried state through UNCHANGED
+            # (Block.stateless contract), so the K frames are fully
+            # independent: vmap the step across the frame axis instead of
+            # scanning it.  XLA then batches each block's per-frame
+            # kernels into one large op — e.g. the FD correlator's K
+            # separate 8192-pt FFT dispatches become a single [K·vecs,
+            # 8192] batched FFT, which is the whole difference between
+            # dispatch-bound and MXU-bound at the reference's default
+            # frame size (BENCH_TPU.md round-5 block-API row).
+            def multi_step(states, feeds):
+                tapped, messages = jax.vmap(
+                    lambda feed: step_fn(states, feed)[1:])(feeds)
+                return states, tapped, messages
+
+            return multi_step
 
         def multi_step(states, feeds):
             def body(st, feed):

@@ -137,6 +137,10 @@ def test_wrap_sink_publishes_messages(fake_gr):
     produced = g.general_work([sig, np.roll(sig, 3)], [])
     assert produced == 0
     assert g.consumed == [256]
+    # sinks default to pipeline_depth=2 (round 5): the publish trails the
+    # dispatching call by one — flush() (or the stop() callback) drains it
+    assert g.published == []
+    g.flush()
     (sym, (tag, payload)), = g.published
     assert sym == ("sym", "corr") and tag == "pmt"
     assert int(np.asarray(payload["corrective_lags"]).ravel()[0]) == -3
@@ -462,3 +466,70 @@ def test_wrap_stop_drains_pending_batch_frames(fake_gr):
     assert g.stop() is True         # scheduler teardown → flush
     means = [float(np.asarray(m[1][1])) for m in g.published]
     assert means == [1.0, 2.0, 3.0]
+
+
+def _mean_sink_cls():
+    from fractions import Fraction
+
+    import jax.numpy as jnp
+
+    from clenabled_tpu.streaming.block import Block
+
+    class MeanSink(Block):
+        n_inputs, n_outputs = 1, 0
+        msg_ports = ("mean",)
+
+        def __init__(self):
+            super().__init__()
+            self.quantum = 1024
+            self.rate = Fraction(1)
+
+        def init_state(self):
+            return ()
+
+        def apply(self, state, ins):
+            return state, [], {"mean": jnp.mean(jnp.abs(ins[0]))}
+
+    return MeanSink
+
+
+def test_wrap_sink_pipelines_percall_dispatch(fake_gr):
+    """Round 5: sink blocks default to pipeline_depth=2 — the host fetch
+    of frame N-1's message overlaps frame N's device compute (the
+    reference's async worker semantics: publishes trail by one call and
+    flush()/stop() drain the tail)."""
+    from clenabled_tpu.gr_compat import wrap
+
+    g = wrap(_mean_sink_cls()(), batch_frames=1)
+    bf = 1024
+    x = np.concatenate([np.full(bf, v, np.complex64) for v in (1, 2, 3)])
+    assert g.general_work([x[:bf]], []) == 0
+    assert g.published == []                      # 1 frame in flight
+    g.general_work([x[bf:2 * bf]], [])
+    assert len(g.published) == 1                  # frame 0 landed
+    g.general_work([x[2 * bf:]], [])
+    g.flush()
+    means = [float(np.asarray(m[1][1])) for m in g.published]
+    assert means == [1.0, 2.0, 3.0]
+    assert g.consumed == [bf, bf, bf]
+
+
+def test_wrap_stream_pipeline_depth_opt_in(fake_gr):
+    """A stream block with explicit pipeline_depth=2: outputs trail one
+    work call through the output queue; the drained stream equals the
+    unpipelined one."""
+    from clenabled_tpu.blocks import MultiplyConst
+    from clenabled_tpu.gr_compat import wrap
+
+    g = wrap(MultiplyConst(2.0 + 0j), batch_frames=1, pipeline_depth=2)
+    x = (np.arange(16) + 1j).astype(np.complex64)
+    out = np.zeros(16, np.complex64)
+    p1 = g.general_work([x[:8]], [out[:8]])
+    assert p1 == 0                                # frame 0 in flight
+    p2 = g.general_work([x[8:]], [out[:8]])       # frame 0 emits now
+    assert p2 == 8
+    np.testing.assert_allclose(out[:8], 2.0 * x[:8], rtol=1e-6)
+    g.flush()
+    emitted = g._emit([out[8:]])
+    assert emitted == 8
+    np.testing.assert_allclose(out[8:], 2.0 * x[8:], rtol=1e-6)

@@ -280,3 +280,52 @@ def test_auto_dispatch_respects_declared_feed_rank():
     if stacked is not None:
         out2 = r.step(stacked)
         assert np.asarray(out2[tap]).shape == (k, frame)
+
+
+def test_stateless_graph_vmaps_and_matches_sequential():
+    """Round 5: when every block is stateless the K-frame dispatch vmaps
+    across frames (XLA batches the per-frame kernels).  Results must
+    match per-frame stepping to fp tolerance, and carried state must be
+    untouched."""
+    from clenabled_tpu.dsp import planar
+
+    def graph():
+        g = Flowgraph()
+        xc = blocks.XCorrelateFFTVCF(1024, 2)
+        for p in range(2):
+            g.external_input(xc, p)
+        tap = g.tap(xc, name="corr")
+        return g, tap
+
+    rng = np.random.default_rng(5)
+    g1, tap1 = graph()
+    r1 = g1.compile(frame_size=1024)
+    k = r1.steps_per_dispatch
+    assert k > 1 and all(b.stateless for b in r1._order)
+
+    def pc(shape, s):
+        return planar.PC(
+            np.asarray(rng.standard_normal(shape), np.float32),
+            np.asarray(rng.standard_normal(shape), np.float32))
+
+    feeds = [tuple(pc((1024,), 0) for _ in range(2)) for _ in range(k)]
+    seq = [np.asarray(r1.step(*f)[tap1]) for f in feeds]
+
+    g2, tap2 = graph()
+    r2 = g2.compile(frame_size=1024)
+    stacked = tuple(
+        planar.PC(np.stack([f[p].re for f in feeds]),
+                  np.stack([f[p].im for f in feeds]))
+        for p in range(2))
+    got = np.asarray(r2.step(*stacked)[tap2])
+    assert got.shape[0] == k
+    np.testing.assert_allclose(got, np.stack(seq), rtol=1e-4, atol=1e-4)
+
+
+def test_stateful_graph_keeps_scan_dispatch():
+    """A graph containing any stateful block must keep the exact
+    lax.scan state threading (bit-identical to sequential stepping)."""
+    g, lpf, tap = _lpf_mag_graph()
+    frame = lpf.quantum * 2
+    r = g.compile(frame_size=frame, steps_per_dispatch=4)
+    assert not all(getattr(b, "stateless", False) for b in r._order)

@@ -334,3 +334,36 @@ def test_pallas_gram_stacked_multitile_exact(t, t_tile, sp):
     ra, rb = _gram_ref_int(q[0], q[1])
     np.testing.assert_array_equal(np.asarray(a, np.int64), ra)
     np.testing.assert_array_equal(np.asarray(b, np.int64), rb)
+
+
+@pytest.mark.parametrize("t,t_tile,sp", [
+    (192, 64, 128),   # kb=1, odd nt
+    (192, 64, 256),   # kb=2 + multi-tile + odd nt
+])
+def test_pallas_gram_stacked_tri_multitile_exact(t, t_tile, sp):
+    """Round 5: xengine_gram_stacked_tri emits gi = ir − irᵀ lower-
+    triangle blocks in-kernel (Mosaic VMEM transpose); integer-exact vs
+    the NumPy oracle including multi-tile accumulation and odd nt."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu.dsp import pallas_kernels
+
+    rng = np.random.default_rng(13)
+    f = 3
+    q = rng.integers(-63, 64, (2, f, t, sp))
+    zr = jnp.asarray(q[0], jnp.int8)
+    zi = jnp.asarray(q[1], jnp.int8)
+    a_blk, gi_blk, tri_blocks = pallas_kernels.xengine_gram_stacked_tri(
+        zr, zi, t_tile=t_tile, interpret=True)
+    ra, rb = _gram_ref_int(q[0], q[1])
+    rgi = rb - np.swapaxes(rb, -1, -2)
+    kb = sp // 128
+    for n, (i, j) in enumerate(tri_blocks):
+        np.testing.assert_array_equal(
+            np.asarray(gi_blk[:, n], np.int64),
+            rgi[:, i * 128:(i + 1) * 128, j * 128:(j + 1) * 128],
+            err_msg=f"gi block {(i, j)}")
+        # a blocks unchanged by the tri variant
+        np.testing.assert_array_equal(
+            np.asarray(a_blk[:, n], np.int64),
+            ra[:, i * 128:(i + 1) * 128, j * 128:(j + 1) * 128])
