@@ -583,7 +583,7 @@ def _fx_tile_math(i, num, read_group, hr_ref, m1_ref, m2_ref, m3_ref,
                   n1_ref, n2_ref, n3_ref, fd_out, xe_out, fd_acc, xe_acc, *,
                   tile_rows, w, a, m, fd_pairs, xe_pairs, karatsuba=False,
                   mxu_dtype=jnp.float32, mq_ref=None, read_group_dyn=None,
-                  wide_ref=None):
+                  wide_ref=None, win_ref=None):
     """Shared per-tile math of the fused flagship kernels.
 
     read_group(gi) must return the [tile_rows + halo, 128] VMEM feed block
@@ -631,7 +631,30 @@ def _fx_tile_math(i, num, read_group, hr_ref, m1_ref, m2_ref, m3_ref,
     def to_md(x):
         return x.astype(md) if narrow else x
 
-    if mq_ref is not None:
+    if mq_ref is not None and mq_ref.ndim == 2:
+        # round-5 DEEP strategy: im2col window build + ONE deep MXU dot.
+        # mq_ref is the band matrices pre-flattened [nq·128, 128] (in the
+        # operand dtype); the kernel copies the nq row-shifted views of
+        # the feed into a [tile, nq·128] VMEM window with STATIC slices —
+        # static sublane starts lower for every ingest dtype, so the
+        # narrow paths need neither the f32 widening pass nor the fori's
+        # dynamic loads — then contracts the whole branch stage in one
+        # [tile, nq·128] @ [nq·128, 128] matmul (same FLOPs as the nq
+        # separate dots, one accumulation chain on the MXU).
+        nq = mq_ref.shape[0] // LANES
+
+        def branch_sums_mm(gi):
+            sc = read_group(gi)
+            for q in range(nq):
+                blk = sc[q : q + tile_rows, :]
+                if blk.dtype != md:
+                    blk = blk.astype(md)
+                win_ref[:, q * LANES : (q + 1) * LANES] = blk
+            return jnp.dot(win_ref[:, :], mq_ref[:, :],
+                           preferred_element_type=jnp.float32)
+
+        accs = [branch_sums_mm(gi) for gi in range(g)]
+    elif mq_ref is not None:
         # polyphase branch stage on the MXU: acc = Σ_q feed[q:q+T] @ M_q
         # (banded shift-and-scale matrices, see _fx_band_matrices) — one
         # operand cast per group replaces the roll/select/MAC VPU chain
@@ -965,7 +988,13 @@ def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
     def make_read_dyn(s):
         return lambda gi, q: scratch[s, gi, pl.ds(q, tile_rows), :]
 
-    wide_ref = rest_scratch[0] if rest_scratch else None
+    # the deep-prototype extra scratch is the im2col window when the band
+    # consts arrive pre-flattened (round-5 window strategy), else the f32
+    # widening buffer of the legacy fori path
+    extra = rest_scratch[0] if rest_scratch else None
+    is_window = branch_mxu and mq_ref.ndim == 2
+    win_ref = extra if is_window else None
+    wide_ref = None if is_window else extra
     for s in range(2):
         @pl.when(slot == s)
         def _(s=s):
@@ -976,7 +1005,7 @@ def _fx_stream_kernel_v2(xr_hbm, xi_hbm, tr_ref, ti_ref, hr_ref, m1_ref,
                           karatsuba=karatsuba, mxu_dtype=mxu_dtype,
                           mq_ref=mq_ref if branch_mxu else None,
                           read_group_dyn=make_read_dyn(s),
-                          wide_ref=wide_ref)
+                          wide_ref=wide_ref, win_ref=win_ref)
 
 
 FX_TAIL_LEN = 8 * LANES  # carried-history samples per stream (float32)
@@ -1015,7 +1044,7 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
                             interpret: bool = False, fd_pairs=None,
                             xe_pairs=None, karatsuba: bool = False,
                             mxu_dtype=None, branch_mxu=None,
-                            precision=None):
+                            precision=None, deep_strategy: str = "window"):
     """Concat-free fused flagship step (flat-layout kernel, v2).
 
     Unlike fx_correlate_streams, the frame is NOT host-concatenated with
@@ -1125,10 +1154,20 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
         # (exact feed, taps rounded below the 8-bit quantization floor).
         branch_mxu = True
     band = _fx_band_matrices(taps_rm, m)
-    consts = consts + (jnp.asarray(band),)
+    nq_band = band.shape[0]
+    # deep prototypes (nq > 8): "window" (round 5, default) builds an
+    # im2col [tile, nq·128] VMEM window with static slices and runs ONE
+    # deep matmul — no dynamic loads, no f32 widening for narrow ingest;
+    # "fori" keeps the round-4 dynamic-load loop (A/B surface)
+    use_window = (branch_mxu and nq_band > 8 and deep_strategy == "window")
+    if use_window:
+        consts = consts + (jnp.asarray(
+            band.reshape(nq_band * LANES, LANES)).astype(mxu_dtype),)
+    else:
+        consts = consts + (jnp.asarray(band),)
     # narrow deep prototypes: the fori branch path needs an f32 widening
     # scratch (dynamic sublane starts on narrow memrefs fail to lower)
-    need_wide = (branch_mxu and band.shape[0] > 8
+    need_wide = (branch_mxu and nq_band > 8 and not use_window
                  and jnp.dtype(xr.dtype) != jnp.float32)
     call = pl.pallas_call(
         partial(_fx_stream_kernel_v2, tile_rows=tile_rows, halo=halo, w=w,
@@ -1153,7 +1192,9 @@ def fx_correlate_streams_v2(xr, xi, tail_r, tail_i, taps_rm,
             pltpu.VMEM((fd_rows, LANES), jnp.float32),
             pltpu.VMEM((xe_rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, g)),
-        ] + ([pltpu.VMEM((tile_rows + halo, LANES), jnp.float32)]
+        ] + ([pltpu.VMEM((tile_rows, nq_band * LANES), mxu_dtype)]
+             if use_window else
+             [pltpu.VMEM((tile_rows + halo, LANES), jnp.float32)]
              if need_wide else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * g * (w + 2 * m),

@@ -152,7 +152,7 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
                            in_dtype=jnp.float32, mxu_dtype=None,
                            branch_mxu=None, interpret: bool | None = None,
                            proto_taps=None, fd_pairs=None, xe_pairs=None,
-                           precision=None):
+                           precision=None, deep_strategy: str = "window"):
     """Maximally fused flagship: ONE flat-layout Pallas kernel does PFB →
     DFT → FD-xcorr accumulation → X-Engine Gram accumulation without ever
     materializing spectra in HBM (pallas_kernels.fx_correlate_streams_v2);
@@ -216,7 +216,7 @@ def make_fx_pipeline_fused(cfg: FxPipelineConfig = FxPipelineConfig(),
             xr, xi, tr, ti, taps_rm, a, m, tile_rows=tile_rows,
             mxu_dtype=mxu_dtype, branch_mxu=branch_mxu,
             fd_pairs=fd_pairs, xe_pairs=xe_pairs, precision=precision,
-            interpret=interpret)
+            interpret=interpret, deep_strategy=deep_strategy)
         # fd: [len(fd_pairs), M] (default fd_pairs → [A-1, M]); xre/xim:
         # [F, len(xe_pairs), 1] (default xe_pairs → the nb = A(A+1)/2
         # triangular baselines) — row order follows the pair tuples

@@ -667,3 +667,41 @@ def test_make_fir_filter_planar_precision_kwarg():
                                rtol=1e-5, atol=1e-5 * scale)
     np.testing.assert_allclose(np.asarray(y_default.re), want,
                                rtol=1e-5, atol=1e-5 * scale)
+
+
+def test_fx_v2_deep_window_matches_fori():
+    """Round 5: the im2col window strategy (deep default) must equal the
+    round-4 fori path bit-for-bit in interpret mode, f32 and int8."""
+    import jax.numpy as jnp
+
+    a, m = 2, 16
+    ntaps0 = 1600
+    proto = (np.sinc(np.linspace(-4, 4, ntaps0))
+             * np.hanning(ntaps0)).astype(np.float32)
+    proto = np.concatenate([proto, np.zeros((-len(proto)) % m, np.float32)])
+    taps_rm, ntaps = channelizer._pfb_constants(proto, m, m)
+
+    for dt in (jnp.float32, jnp.int8):
+        big_h = pallas_kernels.fx_tail_len(dt, m, ntaps)
+        n = 1024 * m
+        rng = np.random.default_rng(23)
+        if dt == jnp.float32:
+            mk = lambda s: rng.standard_normal(s).astype(np.float32)
+        else:
+            mk = lambda s: rng.integers(-63, 64, s).astype(np.int8)
+        xr, xi = mk((a, n)), mk((a, n))
+        tr, ti = mk((a, big_h)), mk((a, big_h))
+        outs = {}
+        for strat in ("window", "fori"):
+            fd, xe = pallas_kernels.fx_correlate_streams_v2(
+                np.asarray(xr), xi, tr, ti, np.asarray(taps_rm), a, m,
+                tile_rows=32, interpret=True, deep_strategy=strat)
+            outs[strat] = (np.asarray(fd), np.asarray(xe))
+        # one deep dot accumulates in a different order than nq chained
+        # dots — identical math, last-ulp f32 rounding differences only
+        np.testing.assert_allclose(outs["window"][0], outs["fori"][0],
+                                   rtol=1e-5, err_msg=f"{dt} fd")
+        np.testing.assert_allclose(outs["window"][1], outs["fori"][1],
+                                   rtol=1e-5,
+                                   atol=1e-6 * np.abs(outs["fori"][1]).max(),
+                                   err_msg=f"{dt} xe")
