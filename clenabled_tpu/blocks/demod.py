@@ -50,6 +50,9 @@ class CostasLoop(Block):
     ~0.7 MSPS, README.md:64):
 
     * default: sequential lax.scan, the exact recurrence (0.56 MSPS/chip);
+    * ``scalar=True`` (planar only): the SAME exact recurrence on the TPU
+      scalar core (dsp.demod.make_costas_loop_scalar) — 15.5+ MSPS single
+      stream, trajectories within f32 rounding of the scan form;
     * ``chunked=True`` (planar only): speculative chunk-parallel execution
       with seam certificates and exact branch correction
       (dsp.demod.make_costas_loop_chunked) — hundreds of MSPS on a single
@@ -64,13 +67,14 @@ class CostasLoop(Block):
     def __init__(self, loop_bw: float, order: int, planar: bool = False,
                  chunked: bool = False, chunk: int = 8192,
                  warmup: int = 1024, num_streams: int = 1,
-                 name: str = "", **legacy):
+                 scalar: bool = False, name: str = "", **legacy):
         strip_legacy_kwargs(legacy, self)
         self.name = name
         self.loop_bw = loop_bw
         self.order = order
         self.planar = planar
         self.chunked = chunked
+        self.scalar = scalar
         self.num_streams = num_streams
         if num_streams > 1:
             import jax
@@ -87,6 +91,10 @@ class CostasLoop(Block):
             self._run = dsp_demod.make_costas_loop_chunked(
                 loop_bw, order, chunk=chunk, warmup=warmup)
             self.quantum = chunk
+        elif scalar:
+            if not planar:
+                raise ValueError("scalar CostasLoop requires planar=True")
+            self._run = dsp_demod.make_costas_loop_scalar(loop_bw, order)
         elif planar:
             self._run = dsp_demod.make_costas_loop_planar(loop_bw, order)
         else:

@@ -133,6 +133,41 @@ def make_costas_loop_planar(loop_bw: float, order: int,
     return run
 
 
+def make_costas_loop_scalar(loop_bw: float, order: int,
+                            max_freq: float = 1.0, min_freq: float = -1.0,
+                            chunk: int = 8192, interpret: bool | None = None):
+    """Exact-sequential Costas loop on the TPU SCALAR core (round 5).
+
+    Identical recurrence and carried state to make_costas_loop_planar,
+    but the per-sample feedback chain runs as true scalar code in SMEM
+    (pallas_kernels.costas_scalar) with ~1-ulp polynomial sincos instead
+    of paying VPU vector-issue latency per dependent op: measured
+    **15.5-15.7 MSPS single stream** on-chip vs 0.60 for the lax.scan
+    form and ~0.7 for the reference's single-work-item GPU kernel
+    (BENCH_TPU.md round 5; trajectories agree to float32 rounding —
+    max 1e-6 over 2^16 locked samples, end state bit-comparable).
+
+    Planar frames only.  Returns run(state, frame: planar.PC) ->
+    (state', planar.PC)."""
+    from clenabled_tpu.dsp import pallas_kernels, planar
+
+    if order not in (2, 4):
+        raise ValueError("costas loop order must be 2 or 4")
+    alpha, beta = costas_gains(loop_bw)
+
+    @jax.jit
+    def run(state: CostasState, frame):
+        interp = (jax.default_backend() == "cpu" if interpret is None
+                  else interpret)
+        o_r, o_i, ph, fr, er = pallas_kernels.costas_scalar(
+            frame.re, frame.im, state.phase, state.freq, state.error,
+            order, alpha, beta, min_freq, max_freq, chunk=chunk,
+            interpret=interp)
+        return CostasState(phase=ph, freq=fr, error=er), planar.PC(o_r, o_i)
+
+    return run
+
+
 def _costas_step_planar(order: int, alpha, beta, f_min, f_max):
     """The per-sample recurrence (shared by scan/vmap/chunked forms)."""
 

@@ -2112,3 +2112,147 @@ def _xengine_gram_stacked_call(zr, zi, t_tile: int, interpret: bool,
         interpret=interpret,
     )(zr, zi)
     return a_blk, b_blk, tri_blocks
+
+
+# ---------------------------------------------------------------------------
+# Costas loop on the SCALAR core (round 5).
+#
+# The loop is inherently sequential feedback — the reference runs it as a
+# single-work-item GPU kernel (~0.7 MSPS, lib/clCostasLoop_impl.cc:151-312)
+# and the lax.scan form measures 0.58-0.60 MSPS on the VPU: each of the
+# ~14 serially-dependent VECTOR ops pays ~85-100 ns of issue latency for a
+# scalar's worth of work (BENCH_TPU.md round-3 latency-bound proof).  The
+# TPU has a second compute engine built for exactly this shape: the scalar
+# core.  A dependent scalar chain in SMEM measures ~4-6 ns per light
+# iteration and ~26-38 ns for a ~30-op chain (probe 359) — so the full
+# recurrence with polynomial sincos runs the SAME exact sequential
+# semantics at 10-20x the VPU scan.  Frames stream through SMEM in grid
+# chunks; (phase, freq, error) carries across chunks in SMEM scratch.
+# ---------------------------------------------------------------------------
+
+# Cephes sinf/cosf minimax coefficients on [-pi/4, pi/4] (public-domain
+# constants; ~1-2 f32 ulp) + 2-part pi/2 for exact-enough reduction over
+# the recurrence's |phase| <= 2*pi + freq + alpha range.
+_SC_PIO2_HI = 1.5707963267948966
+_SC_PIO2_LO = 6.123233995736766e-17
+_SC_SIN = (-1.6666654611e-1, 8.3321608736e-3, -1.9515295891e-4)
+_SC_COS = (4.166664568298827e-2, -1.388731625493765e-3,
+           2.443315711809948e-5)
+
+
+def _sincos_poly_scalar(x):
+    """sin(x), cos(x) for a scalar f32 via quadrant reduction + minimax
+    polys — every op lowers on the TPU scalar core (no transcendental
+    unit there)."""
+    j = jnp.round(x * jnp.float32(2.0 / math.pi))
+    y = (x - j * jnp.float32(_SC_PIO2_HI)) - j * jnp.float32(_SC_PIO2_LO)
+    q = jnp.astype(j, jnp.int32) % 4
+    y2 = y * y
+    s = y * (1.0 + y2 * (_SC_SIN[0] + y2 * (_SC_SIN[1] + y2 * _SC_SIN[2])))
+    c = 1.0 + y2 * (-0.5 + y2 * (_SC_COS[0] + y2 * (_SC_COS[1]
+                                                    + y2 * _SC_COS[2])))
+    sin_x = jnp.where(q == 0, s, jnp.where(q == 1, c,
+                      jnp.where(q == 2, -s, -c)))
+    cos_x = jnp.where(q == 0, c, jnp.where(q == 1, -s,
+                      jnp.where(q == 2, -c, s)))
+    return sin_x, cos_x
+
+
+def _costas_scalar_kernel(xr_ref, xi_ref, st_in, or_ref, oi_ref, st_out,
+                          st, *, chunk, order, alpha, beta, f_min, f_max):
+    i = pl.program_id(0)
+    two_pi = jnp.float32(2.0 * math.pi)
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(3):
+            st[k] = st_in[k]
+
+    def body(t, carry):
+        phase, freq = carry
+        s_r = xr_ref[t]
+        s_i = xi_ref[t]
+        sin_p, cos_p = _sincos_poly_scalar(phase)
+        n_r = cos_p            # cos(-phase)
+        n_i = -sin_p           # sin(-phase)
+        o_r = s_r * n_r - s_i * n_i
+        o_i = s_r * n_i + s_i * n_r
+        or_ref[t] = o_r
+        oi_ref[t] = o_i
+        if order == 2:
+            error = o_r * o_i
+        else:
+            error = (jnp.where(o_r > 0, 1.0, -1.0) * o_i
+                     - jnp.where(o_i > 0, 1.0, -1.0) * o_r)
+        error = 0.5 * (jnp.abs(error + 1.0) - jnp.abs(error - 1.0))
+        freq = freq + jnp.float32(beta) * error
+        phase = phase + freq + jnp.float32(alpha) * error
+        phase = jnp.where(
+            (phase > two_pi) | (phase < -two_pi),
+            (phase / two_pi - jnp.trunc(phase / two_pi)) * two_pi,
+            phase,
+        )
+        freq = jnp.clip(freq, jnp.float32(f_min), jnp.float32(f_max))
+        st[2] = error
+        return phase, freq
+
+    phase, freq = jax.lax.fori_loop(0, chunk, body, (st[0], st[1]))
+    st[0] = phase
+    st[1] = freq
+    nlast = pl.num_programs(0) - 1
+
+    @pl.when(i == nlast)
+    def _():
+        for k in range(3):
+            st_out[k] = st[k]
+
+
+def costas_scalar(xr, xi, phase, freq, error, order: int, alpha: float,
+                  beta: float, f_min: float = -1.0, f_max: float = 1.0,
+                  chunk: int = 2048, interpret: bool = False):
+    """Exact-sequential Costas loop on the TPU scalar core.
+
+    Same recurrence as demod._costas_step_planar (GR control_loop
+    semantics, reference lib/clCostasLoop_impl.cc:151-312) with sincos
+    evaluated by ~1-ulp minimax polynomials instead of the VPU
+    transcendentals — locked-loop trajectories agree to float32 rounding
+    (the loop is contracting; tests pin the tolerance).
+
+    Args:
+      xr, xi: [n] float32 planar frame (n a multiple of ``chunk``).
+      phase, freq, error: scalar f32 carried state.
+    Returns (o_r [n], o_i [n], phase', freq', error').
+    """
+    n = xr.shape[-1]
+    while n % chunk:
+        chunk //= 2
+    st0 = jnp.stack([jnp.float32(phase), jnp.float32(freq),
+                     jnp.float32(error)])
+    o_r, o_i, st1 = pl.pallas_call(
+        partial(_costas_scalar_kernel, chunk=chunk, order=order,
+                alpha=float(alpha), beta=float(beta), f_min=float(f_min),
+                f_max=float(f_max)),
+        grid=(n // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((3,), jnp.float32)],
+        interpret=interpret,
+    )(xr, xi, st0)
+    return o_r, o_i, st1[0], st1[1], st1[2]

@@ -94,6 +94,10 @@ def main() -> None:
             run = demod.make_costas_loop_planar(0.02, 2)
             T.report("costas loop (order 2)", n, tst(lambda st, r, i: run(st, PC(r, i)), demod.costas_init(),
                 ar, ai))
+            runs = demod.make_costas_loop_scalar(0.02, 2)
+            T.report("costas loop (order 2, scalar core)", n,
+                     tst(lambda st, r, i: runs(st, PC(r, i)),
+                         demod.costas_init(), ar, ai))
         return
 
     a = jax.device_put(T.rand_complex(n, 1))

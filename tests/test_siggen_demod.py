@@ -245,3 +245,52 @@ def test_qdemod_planar_outconcat_matches_reference_form():
     prod = planar.mul_conj(x, planar.PC(pr, pi))
     want = jnp.float32(1.5) * jnp.arctan2(prod.im, prod.re)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_costas_scalar_matches_scan_exact_mode():
+    """Round 5: the scalar-core Costas kernel runs the SAME exact
+    recurrence as the lax.scan form — locked-loop trajectories agree to
+    f32 rounding (1-ulp polynomial sincos), state carries across frames,
+    and the block-level scalar=True option wires it up."""
+    import jax.numpy as jnp
+
+    from clenabled_tpu import blocks
+    from clenabled_tpu.dsp import demod, pallas_kernels, planar
+
+    rng = np.random.default_rng(9)
+    n = 4096
+    t = np.arange(n)
+    sig = (np.exp(1j * (0.02 * t + 0.3))
+           * np.where(rng.random(n) > 0.5, 1, -1))
+    sig = sig + 0.01 * (rng.standard_normal(n)
+                        + 1j * rng.standard_normal(n))
+    xr = jnp.asarray(sig.real.astype(np.float32))
+    xi = jnp.asarray(sig.imag.astype(np.float32))
+
+    for order in (2, 4):
+        run_scan = demod.make_costas_loop_planar(0.02, order)
+        run_scal = demod.make_costas_loop_scalar(0.02, order, chunk=1024)
+        st_a, st_b = demod.costas_init(), demod.costas_init()
+        # two frames: state must carry across the frame seam identically
+        for lo, hi in ((0, n // 2), (n // 2, n)):
+            fr = planar.PC(xr[lo:hi], xi[lo:hi])
+            st_a, out_a = run_scan(st_a, fr)
+            st_b, out_b = run_scal(st_b, fr)
+            np.testing.assert_allclose(np.asarray(out_b.re),
+                                       np.asarray(out_a.re), atol=5e-6)
+            np.testing.assert_allclose(np.asarray(out_b.im),
+                                       np.asarray(out_a.im), atol=5e-6)
+        np.testing.assert_allclose(float(st_b.phase), float(st_a.phase),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(st_b.freq), float(st_a.freq),
+                                   atol=1e-6)
+
+    import pytest
+
+    blk = blocks.CostasLoop(0.02, 2, planar=True, scalar=True)
+    st = blk.init_state()
+    st, (out,), _ = blk.apply(st, [planar.PC(xr[:2048], xi[:2048])])
+    assert np.asarray(out.re).shape == (2048,)
+
+    with pytest.raises(ValueError, match="planar"):
+        blocks.CostasLoop(0.02, 2, scalar=True)
