@@ -70,7 +70,7 @@ class Fft(Block):
 
     def __init__(self, fft_size: int, direction: int = dsp_fft.FORWARD,
                  window=None, shift: bool = False, num_streams: int = 1,
-                 name: str = "", use_pallas: bool = False, **legacy):
+                 name: str = "", use_pallas: bool | str = "auto", **legacy):
         strip_legacy_kwargs(legacy, self)
         if window is not None and len(window) != fft_size:
             raise ValueError("window length must equal fft_size")
@@ -82,8 +82,10 @@ class Fft(Block):
         self.quantum = fft_size
         self.n_inputs = num_streams
         self.n_outputs = num_streams
-        # opt-in fused single-HBM-pass Pallas FFT for planar streams
-        # (round 4 — see dsp.fft.fft_stream_planar's measured verdict)
+        # fused single-HBM-pass Pallas FFT for planar streams —
+        # "auto" (round-5 default) routes supported sizes (>= 1024-pt)
+        # to the kernel on TPU backends; see dsp.fft.fft_stream_planar's
+        # final routing table
         self.use_pallas = use_pallas
 
     def apply(self, state, inputs):

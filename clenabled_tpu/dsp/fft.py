@@ -113,25 +113,31 @@ def _fused_fft_supported(x, fft_size: int) -> bool:
 
 def fft_stream_planar(x, fft_size: int, direction: int = FORWARD,
                       window=None, shift: bool = False,
-                      use_pallas: bool = False):
+                      use_pallas: bool | str = "auto"):
     """Planar fft_stream: PC of 1-D streams chopped into fft_size
     vectors.
 
-    use_pallas=True runs covered sizes (n2·128, n2 pow2 ≥ 8) through the
+    use_pallas routes covered sizes (n2·128, n2 pow2 ≥ 8) through the
     fused single-HBM-pass Pallas kernel (pallas_kernels.fft_batched_fused).
-    OPT-IN, not the default (round-4 measurement, BENCH_TPU.md jobs
-    324/325): at 2048-pt the dedicated A/B favored the kernel (median
-    17.2 vs 15.0 GSPS, per-rep ratio med 1.46) but through this wrapper
-    the medians are a wash under the environment's phase noise, small
-    sizes lose outright (512-pt: 0.57× — the reorder's op count grows
-    as (128/n2)²), and the kernel's bf16-operand dots differ from the
-    XLA path's by the documented ~3e-3 rel envelope.  Kept as a
-    capability for quieter hardware; the XLA two-stage path (14 GSPS
-    honest) remains the default."""
+    ``"auto"`` (default since round 5) uses the kernel on TPU backends
+    for supported sizes — the FINAL routing table (round-5 wrapper A/B,
+    job 361, interleaved per-round ratio medians over 7 rounds, plus the
+    round-4 dedicated 2048 A/B): 1024-pt 2.75×, 2048-pt 1.43× (r4
+    dedicated: 1.46×), 4096-pt 1.33× for the kernel; 512-pt is BELOW the
+    kernel's n2 ≥ 8 envelope and stays on XLA (its (128/n2)² reorder op
+    count is structural — sublane→lane movement has no wholesale Mosaic
+    primitive).  Note both paths run bf16-operand f32 dots by default on
+    TPU (round-3 audit), so routing does not change the accuracy
+    envelope.  Pass False to pin the XLA two-stage path."""
     from clenabled_tpu.dsp import planar
 
     if x.re.shape[-1] % fft_size:
         raise ValueError("stream length must be a multiple of fft_size")
+    if use_pallas == "auto":
+        from clenabled_tpu.runtime import device
+
+        use_pallas = (device.is_tpu_backend()
+                      and _fused_fft_supported(x, fft_size))
     if use_pallas and not _fused_fft_supported(x, fft_size):
         use_pallas = False
     if use_pallas:
