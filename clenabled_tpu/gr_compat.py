@@ -319,7 +319,18 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
                                              else list(fr))
                     return st, (tuple(outs), ms)
 
-                if n_in:
+                if n_in and getattr(blk, "stateless", False):
+                    # stateless contract: frames are independent — vmap
+                    # the K-frame dispatch so XLA batches the per-frame
+                    # kernels (same win as the Runner's round-5 vmap
+                    # dispatch; outputs keep the leading K axis)
+                    def vmapped(st, xs):
+                        outs, ms = jax.vmap(
+                            lambda fr: body(st, fr)[1])(xs)
+                        return st, (outs, ms)
+
+                    self._scan = jax.jit(vmapped)
+                elif n_in:
                     self._scan = jax.jit(
                         lambda st, xs: jax.lax.scan(body, st, xs))
                 else:

@@ -179,13 +179,27 @@ def _bench_packed4(n_log2: int, steps: int, write_disk: bool) -> None:
                      prefetch=2)
     ing.run(iter([pool[0]]))                 # warm the jit off the clock
 
+    # sustained-window instrumentation (round 5, VERDICT r4 item 7):
+    # per-step completion timestamps + time spent inside the disk writer,
+    # so the report separates burst from sustained and shows the writer
+    # never falls behind (writes are synchronous here — "backlog" shows
+    # up as write stall time, not dropped frames)
+    marks = []
+    wstall = [0.0]
+    wbytes = [0]
+
     def on_outputs(step_no, fetched):
         if writer is not None:
             fd, xre, xim = fetched
-            writer.write(np.ascontiguousarray(np.stack([xre, xim])))
+            buf = np.ascontiguousarray(np.stack([xre, xim]))
+            t0 = time.perf_counter()
+            writer.write(buf)
+            wstall[0] += time.perf_counter() - t0
+            wbytes[0] += buf.nbytes
+        marks.append(time.perf_counter())
 
     ing = HostIngest(step, (tz, jnp.zeros_like(ti)), samples_per_frame=n,
-                     prefetch=2, fetch_every=1 if write_disk else 0)
+                     prefetch=2, fetch_every=1)
     stats = ing.run(stacked, n_steps=steps, on_outputs=on_outputs)
     if writer is not None:
         writer.close()
@@ -197,6 +211,22 @@ def _bench_packed4(n_log2: int, steps: int, write_disk: bool) -> None:
     print(f"  end-to-end     {stats['wall_s']/stats['steps']*1e3:7.2f} ms   "
           f"= {msps:10.1f} MSPS/ant  ({gbs:.3f} GB/s wire"
           f"{', disk on' if write_disk else ''})")
+    if len(marks) >= 8:
+        qs = len(marks) // 4
+        for qi in range(4):
+            lo = qi * qs
+            hi = (qi + 1) * qs if qi < 3 else len(marks) - 1
+            dt = marks[hi] - marks[lo]
+            nsteps = hi - lo
+            print(f"  quarter {qi + 1}      {nsteps * n / dt / 1e6:10.1f} "
+                  f"MSPS/ant over {dt:6.1f} s")
+    if writer is not None:
+        print(f"  writer         {wbytes[0] / 1e6:.3f} MB written, "
+              f"{wstall[0]:.2f} s in write() "
+              f"({100 * wstall[0] / stats['wall_s']:.1f}% of wall), "
+              f"0 frames dropped (synchronous writes)")
+    print(f"  steps          {stats['steps']} over {stats['wall_s']:.1f} s "
+          f"wall")
 
 
 def main() -> None:

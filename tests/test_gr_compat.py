@@ -533,3 +533,43 @@ def test_wrap_stream_pipeline_depth_opt_in(fake_gr):
     emitted = g._emit([out[8:]])
     assert emitted == 8
     np.testing.assert_allclose(out[8:], 2.0 * x[8:], rtol=1e-6)
+
+
+def test_wrap_batched_stateless_vmaps_and_matches(fake_gr):
+    """Round 5: a stateless block's K-frame batch dispatch vmaps (frames
+    independent) and the emitted stream equals per-call processing."""
+    from clenabled_tpu.blocks import MultiplyConst
+    from clenabled_tpu.gr_compat import wrap
+
+    x = (np.arange(4 << 13) + 1j).astype(np.complex64)
+    g_ref = wrap(MultiplyConst(2.0 + 0j), batch_frames=1)
+    g_bat = wrap(MultiplyConst(2.0 + 0j), batch_frames=4)
+    assert MultiplyConst(1.0).stateless
+
+    def drive(g):
+        out = np.zeros_like(x)
+        done = 0
+        pos = 0
+        offer = 1 << 13
+        while pos < len(x) or done < len(x):
+            hi = min(len(x), pos + offer)
+            produced = g.general_work([x[pos:hi]],
+                                      [out[done:done + offer]])
+            consumed = sum(g.consumed)
+            g.consumed.clear()
+            # track absolute consumption via return bookkeeping
+            pos += consumed
+            done += produced
+            if pos >= len(x) and produced == 0:
+                g.flush()
+                produced = g._emit([out[done:]])
+                done += produced
+                if produced == 0:
+                    break
+        return out[:done]
+
+    a = drive(g_ref)
+    b = drive(g_bat)
+    n = min(len(a), len(b))
+    assert n >= len(x) // 2
+    np.testing.assert_allclose(a[:n], b[:n], rtol=1e-6)
