@@ -91,13 +91,20 @@ def main() -> None:
         qdp = jax.jit(lambda r, i: demod.quadrature_demod_planar(PC(r, i), 1.0))
         T.report("quadrature demod", n, tfn(qdp, ar, ai))
         if args.testcostas:
+            # the exact loop runs ~0.6 MSPS (scan) / ~15 MSPS (scalar
+            # core): bound the frame so the chained-reps device program
+            # stays seconds, not minutes — a multi-minute single dispatch
+            # CRASHES the remote TPU worker (round-5 smoke incident)
+            nc = min(n, 1 << 16)
+            cr, ci = ar[:nc], ai[:nc]
             run = demod.make_costas_loop_planar(0.02, 2)
-            T.report("costas loop (order 2)", n, tst(lambda st, r, i: run(st, PC(r, i)), demod.costas_init(),
-                ar, ai))
+            T.report(f"costas loop (order 2, n={nc})", nc,
+                     tst(lambda st, r, i: run(st, PC(r, i)),
+                         demod.costas_init(), cr, ci))
             runs = demod.make_costas_loop_scalar(0.02, 2)
-            T.report("costas loop (order 2, scalar core)", n,
+            T.report(f"costas loop (order 2, scalar core, n={nc})", nc,
                      tst(lambda st, r, i: runs(st, PC(r, i)),
-                         demod.costas_init(), ar, ai))
+                         demod.costas_init(), cr, ci))
         return
 
     a = jax.device_put(T.rand_complex(n, 1))
