@@ -191,6 +191,7 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
             # per-call pipelining (depth > 1): dispatched-but-unfetched
             # (outputs, messages) device futures, oldest first
             self._inflight = []
+            self._fetch_pool = None   # lazy thread pool for msg fetches
             # per-call jit cache (round 5): block.apply is designed to be
             # TRACED (inside the Runner's jitted step); calling it eagerly
             # dispatches op-by-op — ~1 ms per op through a remote runtime,
@@ -216,12 +217,13 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
                     # correlator message carries several — sequential
                     # fetches made the RTTs additive (round-5 latency
                     # A/B: ~97 ms/call, ≈ 4 serial RTTs)
-                    from concurrent.futures import ThreadPoolExecutor
+                    if self._fetch_pool is None:
+                        from concurrent.futures import ThreadPoolExecutor
 
+                        self._fetch_pool = ThreadPoolExecutor(8)
                     keys = list(payload.keys())
-                    with ThreadPoolExecutor(len(keys)) as ex:
-                        vals = list(ex.map(_to_numpy,
-                                           [payload[k] for k in keys]))
+                    vals = list(self._fetch_pool.map(
+                        _to_numpy, [payload[k] for k in keys]))
                     as_np = dict(zip(keys, vals))
                 elif isinstance(payload, dict):
                     as_np = {k: _to_numpy(v) for k, v in payload.items()}
