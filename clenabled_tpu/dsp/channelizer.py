@@ -316,8 +316,15 @@ def fused_oversampled_supported(num_channels: int, ninputs_per_iter: int,
     # the tail/halo grows with the prototype (os_tail_len) but the halo
     # must still fit the largest usable tile (tile·L ≤ 2048 rows)
     w = -(-ntaps // m)
-    reach = (w - 1) * m + (m // r - 1) * r
-    return reach // 128 + 2 <= min(512, 2048 // (m // r))
+    ell = m // r
+    reach = (w - 1) * m + (ell - 1) * r
+    if reach // 128 + 2 > min(512, 2048 // ell):
+        return False
+    # the banded E consts must fit Mosaic's 16 MB scoped-VMEM budget
+    # (round 5: nq=32/ell=4 fails AOT compile with a scoped OOM on the
+    # real chip — ~16.8 MB of consts; nq≈16 compiles and runs)
+    nq = reach // 128 + 1
+    return 2 * ell * nq * 128 * 128 * 4 <= 12 << 20
 
 
 def make_channelizer_fused_oversampled(taps, num_channels: int,

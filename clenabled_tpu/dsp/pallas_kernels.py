@@ -1310,8 +1310,8 @@ def _pfb_os_constants(taps_rm, m: int, r: int, i_offset: int = 0):
 
 
 def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
-                   out_re, out_im, scratch, sems, obuf, osems, *, tile_rows,
-                   halo, ell, nq, mxu_dtype):
+                   out_re, out_im, scratch, sems, obuf, osems,
+                   *rest_scratch, tile_rows, halo, ell, nq, mxu_dtype):
     i = pl.program_id(0)
     num = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
@@ -1376,7 +1376,14 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
 
     md = jnp.dtype(mxu_dtype)
     narrow = md != jnp.dtype(jnp.float32)
-    unrolled = nq <= 8
+    # round 5: deep prototypes take the im2col WINDOW strategy (flat
+    # [ell, nq·128, 128] consts + a [2, tile, nq·128] window scratch) —
+    # one window build per tile, ONE deep matmul per (component, family)
+    # instead of the fori's nq dynamic-load dots (the flagship measured
+    # 2.2-2.4× from the same change, job 358)
+    window = er_ref.ndim == 3
+    win_ref = rest_scratch[0] if rest_scratch else None
+    unrolled = nq <= 8 and not window
     if unrolled:
         # operand loads hoisted OUT of the slot branches: inside pl.when
         # they re-issue per branch and fence Mosaic's load scheduling
@@ -1393,6 +1400,42 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
                 if narrow:
                     fr = fr.astype(md)
                     fi = fi.astype(md)
+            elif window:
+                # im2col the row-shifted feed views in CHUNKS of up to 8
+                # banded groups (static slices; a whole-nq window OOMs
+                # Mosaic's scoped VMEM at nq ≥ ~32), every family reusing
+                # each chunk before the next is built; per-family
+                # accumulators ride the unrolled chunk loop as values
+                wq = win_ref.shape[-1] // LANES
+                zacc = [None] * ell
+                for q0 in range(0, nq, wq):
+                    qn = min(wq, nq - q0)
+                    for comp in range(2):
+                        sc = scratch[s, comp]
+                        for qq in range(qn):
+                            blk = sc[q0 + qq : q0 + qq + tile_rows, :]
+                            if narrow:
+                                blk = blk.astype(md)
+                            win_ref[comp, :,
+                                    qq * LANES : (qq + 1) * LANES] = blk
+                    wr = win_ref[0, :, : qn * LANES]
+                    wi = win_ref[1, :, : qn * LANES]
+                    for f in range(ell):
+                        e_r = er_ref[f, q0 * LANES : (q0 + qn) * LANES, :]
+                        e_i = ei_ref[f, q0 * LANES : (q0 + qn) * LANES, :]
+                        zr_c = (jnp.dot(wr, e_r,
+                                        preferred_element_type=jnp.float32)
+                                - jnp.dot(wi, e_i,
+                                          preferred_element_type=jnp.float32))
+                        zi_c = (jnp.dot(wr, e_i,
+                                        preferred_element_type=jnp.float32)
+                                + jnp.dot(wi, e_r,
+                                          preferred_element_type=jnp.float32))
+                        if zacc[f] is None:
+                            zacc[f] = (zr_c, zi_c)
+                        else:
+                            zacc[f] = (zacc[f][0] + zr_c,
+                                       zacc[f][1] + zi_c)
             for f in range(ell):
                 if unrolled:
                     zr = (jnp.dot(fr[0:tile_rows], erv[0][f],
@@ -1414,13 +1457,15 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
                                            preferred_element_type=jnp.float32)
                               + jnp.dot(si, erv[q][f],
                                         preferred_element_type=jnp.float32))
+                elif window:
+                    zr, zi = zacc[f]
                 else:
-                    # deep prototypes (nq > 8): fori over the banded
-                    # groups with dynamic ref loads.  ~30% slower than
-                    # the unrolled form at nq=8, but the unrolled kernel
-                    # crashes the axon backend's remote Mosaic build at
-                    # nq ≥ ~11 (round-3 envelope) — this form compiles
-                    # and runs at every depth probed (nq=17: 3,587 Msps)
+                    # deep prototypes, legacy fori path (kept as the A/B
+                    # surface): dynamic ref loads, ~30% slower than
+                    # unrolled at nq=8, but the unrolled kernel crashes
+                    # the axon backend's remote Mosaic build at nq ≥ ~11
+                    # (round-3 envelope) — compiles at every depth
+                    # probed (nq=17: 3,587 Msps)
                     def body(q, z, s=s, f=f):
                         zr, zi = z
                         sr = scratch[s, 0, pl.ds(q, tile_rows), :]
@@ -1470,7 +1515,8 @@ def _pfb_os_kernel(xr_hbm, xi_hbm, tr_ref, ti_ref, er_ref, ei_ref,
 def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
                           tile_rows: int = 256, i_offset: int = 0,
                           interpret: bool = False, mxu_dtype=jnp.float32,
-                          flat_output: bool = False, precision=None):
+                          flat_output: bool = False, precision=None,
+                          deep_strategy: str = "window"):
     """Fused oversampled (R < M, R | M) PFB channelizer step.
 
     For the virtual stream v = tail ++ frame, output group i's commutator
@@ -1529,6 +1575,15 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
     rows = n // LANES
     er, ei = _pfb_os_constants(taps_rm, m, r, i_offset)
     nq = er.shape[0]
+    use_window = nq > 8 and deep_strategy == "window"
+    if use_window:
+        # flat [ell, nq·128, 128] layout (family-major) for the deep
+        # window strategy, cast to the operand dtype host-side
+        def flat(e):
+            e2 = jnp.transpose(e, (1, 0, 2, 3))
+            return e2.reshape(ell, nq * LANES, LANES).astype(mxu_dtype)
+
+        er, ei = flat(er), flat(ei)
     os_call = pl.pallas_call(
         partial(_pfb_os_kernel, tile_rows=tile_rows, halo=halo, ell=ell,
                 nq=nq, mxu_dtype=mxu_dtype),
@@ -1548,7 +1603,8 @@ def pfb_oversampled_fused(xr, xi, tail_r, tail_i, taps_rm, m: int, r: int,
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((2, 2, tile_rows * ell, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ] + ([pltpu.VMEM((2, tile_rows, min(nq, 8) * LANES), mxu_dtype)]
+             if use_window else []),
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * rows * LANES * LANES * ell * nq,
             bytes_accessed=4 * (2 * n + 2 * ell * n),

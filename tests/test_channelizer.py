@@ -236,12 +236,17 @@ def test_fused_oversampled_deep_halo_long_prototype():
     from clenabled_tpu.dsp import pallas_kernels, planar
 
     m, r = 64, 16
-    taps = firdes.low_pass(1.0, float(m), 0.5, 0.04)  # long prototype
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.08)  # long prototype
     taps = np.concatenate([taps, np.zeros((-len(taps)) % m, np.float32)])
     assert len(taps) > 1024  # past the default halo
     h = pallas_kernels.os_tail_len(m, r, len(taps))
     assert h > pallas_kernels.OS_TAIL_LEN
     assert channelizer.fused_oversampled_supported(m, r, len(taps))
+    # prototypes whose banded consts exceed Mosaic's scoped-VMEM budget
+    # are REJECTED up front (round 5: nq=32 at this (m, r) fails the
+    # real chip's AOT compile with a scoped OOM — interpret mode alone
+    # never caught it)
+    assert not channelizer.fused_oversampled_supported(m, r, 3904)
     lag = h - len(taps) + 1
     n = 4096
     x = cplx(2 * n)
@@ -269,3 +274,33 @@ def test_fused_oversampled_deep_halo_long_prototype():
         want.append(np.asarray(y.re) + 1j * np.asarray(y.im))
     want = np.concatenate(want)
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+def test_fused_oversampled_deep_window_matches_fori():
+    """Round 5: the deep OS-PFB branch stage's im2col window strategy
+    (default for nq > 8) must match the legacy fori path to accumulation-
+    order tolerance."""
+    from clenabled_tpu.dsp import pallas_kernels
+
+    m, r = 64, 16
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.04)
+    taps = np.concatenate([taps, np.zeros((-len(taps)) % m, np.float32)])
+    taps_rm, ntaps = channelizer._pfb_constants(taps, m, r)
+    h = pallas_kernels.os_tail_len(m, r, ntaps)
+    rng = np.random.default_rng(3)
+    n = 4096
+    xr = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    tr = rng.standard_normal(h).astype(np.float32)
+    ti = rng.standard_normal(h).astype(np.float32)
+    outs = {}
+    for strat in ("window", "fori"):
+        zr, zi = pallas_kernels.pfb_oversampled_fused(
+            xr, xi, tr, ti, np.asarray(taps_rm), m, r,
+            tile_rows=h // 128, interpret=True, deep_strategy=strat)
+        outs[strat] = (np.asarray(zr), np.asarray(zi))
+    scale = np.abs(outs["fori"][0]).max()
+    np.testing.assert_allclose(outs["window"][0], outs["fori"][0],
+                               rtol=1e-5, atol=1e-5 * scale)
+    np.testing.assert_allclose(outs["window"][1], outs["fori"][1],
+                               rtol=1e-5, atol=1e-5 * scale)
