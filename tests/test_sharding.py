@@ -463,7 +463,10 @@ def test_sharded_fused_oversampled_deep_halo():
         make_sharded_channelizer_fused_oversampled)
 
     m, r = 64, 16
-    taps = firdes.low_pass(1.0, float(m), 0.5, 0.04)
+    # 0.08 transition → ~1984 taps (nq=16): deep but inside the real
+    # chip's scoped-VMEM const envelope (round 5 — the old 0.04/3904-tap
+    # config only ever compiled in interpret mode)
+    taps = firdes.low_pass(1.0, float(m), 0.5, 0.08)
     taps = np.concatenate([taps, np.zeros((-len(taps)) % m, np.float32)])
     assert pallas_kernels.os_tail_len(m, r, len(taps)) > \
         pallas_kernels.OS_TAIL_LEN
