@@ -110,8 +110,11 @@ BLOCKS = [
      "clenabled_tpu.blocks.QuadratureDemod(${gain})",
      [("gain", "Gain", "1.0")]),
     ("clCostasLoop", "Costas Loop", "[TPU-Enabled]",
-     "clenabled_tpu.blocks.CostasLoop(${loop_bw}, ${order})",
-     [("loop_bw", "Loop Bandwidth", "0.02"), ("order", "Order (2 or 4)", "2")]),
+     "clenabled_tpu.blocks.CostasLoop(${loop_bw}, ${order}, planar=${planar}, chunked=${chunked}, scalar=${scalar})",
+     [("loop_bw", "Loop Bandwidth", "0.02"), ("order", "Order (2 or 4)", "2"),
+      ("planar", "Planar (complex-free TPU path)", "True"),
+      ("chunked", "Speculative Chunked (multi-GSPS locked streams)", "False"),
+      ("scalar", "Scalar-Core Exact (15.5 MSPS)", "False")]),
     ("clXCorrelate", "Cross Correlator (TD)", "[TPU-Accelerated]",
      "clenabled_tpu.blocks.XCorrelate(${num_inputs}, signal_length=${signal_length}, max_search_index=${max_search}, decim_frames=${decim_frames})",
      [("num_inputs", "Num Inputs", "2"), ("signal_length", "Analysis Window", "8192"),
