@@ -76,12 +76,20 @@ class CostasLoop(Block):
         self.chunked = chunked
         self.scalar = scalar
         self.num_streams = num_streams
+        if chunked and scalar:
+            raise ValueError("chunked and scalar are exclusive execution "
+                             "shapes — pick one")
         if num_streams > 1:
             import jax
 
             self.n_inputs = self.n_outputs = num_streams
             if chunked:
                 raise ValueError("chunked and num_streams are exclusive")
+            if scalar:
+                raise ValueError(
+                    "scalar and num_streams are exclusive (the scalar-core "
+                    "kernel is single-stream; N parallel loops already "
+                    "saturate via the vmapped scan form)")
             base = (dsp_demod.make_costas_loop_planar(loop_bw, order)
                     if planar else dsp_demod.make_costas_loop(loop_bw, order))
             self._run = jax.vmap(base)

@@ -322,8 +322,9 @@ def fused_oversampled_supported(num_channels: int, ninputs_per_iter: int,
         return False
     # the banded E consts must fit Mosaic's 16 MB scoped-VMEM budget
     # (round 5: nq=32/ell=4 fails AOT compile with a scoped OOM on the
-    # real chip — ~16.8 MB of consts; nq≈16 compiles and runs)
-    nq = reach // 128 + 1
+    # real chip — ~16.8 MB of consts; nq≈16 compiles and runs).  nq must
+    # match _pfb_os_constants' allocation exactly: ceil(reach/128) + 1
+    nq = (reach + 127) // 128 + 1
     return 2 * ell * nq * 128 * 128 * 4 <= 12 << 20
 
 
@@ -359,9 +360,11 @@ def make_channelizer_fused_oversampled(taps, num_channels: int,
     h = pallas_kernels.os_tail_len(m, r, ntaps)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    # deep prototypes (nq > 8 banded groups) automatically use the
-    # kernel's fori accumulation form — the fully-unrolled form crashes
-    # the axon backend's remote Mosaic build at nq ≥ ~11 (BENCH_TPU.md)
+    # deep prototypes (nq > 8 banded groups) default to the round-5
+    # chunked im2col WINDOW strategy (1.39× the legacy fori form, which
+    # remains available as deep_strategy="fori" — the fully-unrolled
+    # form crashes the axon backend's remote Mosaic build at nq ≥ ~11,
+    # BENCH_TPU.md)
 
     identity_map = ch_list == list(range(m))
 

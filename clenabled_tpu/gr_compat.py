@@ -251,6 +251,14 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
                     cap = max(0, max_frames_pow2 - (quantum.bit_length() - 1))
                     frames = quantum * (1 << min(k, cap))
                 if frames <= 0:
+                    # nothing to consume — but pipelined output may still
+                    # be pending: drain it so trailing frames reach the
+                    # stream as the scheduler keeps offering output space
+                    # (GR calls work with dwindling input while the
+                    # flowgraph winds down)
+                    if n_out and (self._inflight or self._q_len()):
+                        self._drain_inflight()
+                        return self._emit(output_items)
                     return 0
                 ins = [to_device(x[:frames], s)
                        for x, s in zip(input_items, in_sig)]
@@ -414,6 +422,9 @@ def wrap(block, in_sig=None, out_sig=None, msg_ports=None, name=None,
             through, but nothing is lost on the message path and a final
             producer-driven work call can still drain _outq."""
             self.flush()
+            if self._fetch_pool is not None:
+                self._fetch_pool.shutdown(wait=False)
+                self._fetch_pool = None
             base_stop = getattr(gr.basic_block, "stop", None)
             return base_stop(self) if callable(base_stop) else True
 

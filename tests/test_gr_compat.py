@@ -529,9 +529,10 @@ def test_wrap_stream_pipeline_depth_opt_in(fake_gr):
     p2 = g.general_work([x[8:]], [out[:8]])       # frame 0 emits now
     assert p2 == 8
     np.testing.assert_allclose(out[:8], 2.0 * x[:8], rtol=1e-6)
-    g.flush()
-    emitted = g._emit([out[8:]])
-    assert emitted == 8
+    # the trailing in-flight frame drains through a normal work call with
+    # no fresh input (the scheduler's wind-down offers) — public API only
+    p3 = g.general_work([x[:0]], [out[8:]])
+    assert p3 == 8
     np.testing.assert_allclose(out[8:], 2.0 * x[8:], rtol=1e-6)
 
 

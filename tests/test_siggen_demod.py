@@ -294,3 +294,16 @@ def test_costas_scalar_matches_scan_exact_mode():
 
     with pytest.raises(ValueError, match="planar"):
         blocks.CostasLoop(0.02, 2, scalar=True)
+
+
+def test_costas_scalar_flag_conflicts_rejected():
+    """Review finding (round 5): scalar is exclusive with chunked and with
+    num_streams — silent fallback to a different engine is an error."""
+    import pytest
+
+    from clenabled_tpu import blocks
+
+    with pytest.raises(ValueError, match="exclusive"):
+        blocks.CostasLoop(0.02, 2, planar=True, chunked=True, scalar=True)
+    with pytest.raises(ValueError, match="exclusive"):
+        blocks.CostasLoop(0.02, 2, planar=True, scalar=True, num_streams=4)
